@@ -1,0 +1,112 @@
+"""C4 RoI head: res5 + box/class/mask branches.
+
+Replicates reference ``ResNetRoIHead`` (models/mask_rcnn_resnet.py:119-196):
+RoIAlign(roi_size, 1/16) -> res5 (stride roi_size//7) -> 7x7 global average
+-> Linear cls_loc (n_class*4) / Linear score (n_class); mask branch:
+relu(Deconv 2x2/2: 2048->256) -> 1x1 conv -> n_fg_class channel logits.
+
+The 2x2-stride-2 deconvolution has non-overlapping windows, so it is
+implemented as a single einsum + reshape (pure MXU) instead of a transposed
+convolution. Outputs are NHWC; callers select mask channels on the last axis.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mask_rcnn_tpu.models.resnet import (
+    init_res5,
+    res5_forward,
+)
+from mask_rcnn_tpu.ops.roi_align import roi_align
+
+
+def deconv2x2_s2(x, w, b):
+    """(N, H, W, C) -> (N, 2H, 2W, O) with kernel w (2, 2, C, O)."""
+    n, h, ww, c = x.shape
+    o = w.shape[-1]
+    y = jnp.einsum("nhwc,ijco->nhiwjo", x, w)
+    return y.reshape(n, h * 2, ww * 2, o) + b
+
+
+def head_forward(
+    params,
+    features,
+    rois,
+    roi_indices,
+    roi_size=14,
+    spatial_scale=1.0 / 16,
+    pred_bbox=True,
+    pred_mask=True,
+    pooling_func=roi_align,
+    sampling_ratio=0,
+):
+    """Run the RoI head.
+
+    Returns dict with any of:
+        cls_locs: (R, n_class*4)
+        scores: (R, n_class)
+        masks: (R, mask_size, mask_size, n_fg_class) logits, NHWC.
+    """
+    pool = pooling_func(
+        features,
+        rois,
+        roi_indices,
+        out_size=roi_size,
+        spatial_scale=spatial_scale,
+        **({"sampling_ratio": sampling_ratio}
+           if pooling_func is roi_align else {}),
+    )
+    h = res5_forward(params["res5"], pool, stride=roi_size // 7)
+
+    out = {}
+    if pred_bbox:
+        p5 = jnp.mean(h, axis=(1, 2))  # == 7x7 average pooling
+        out["cls_locs"] = p5 @ params["cls_loc"]["W"] + params["cls_loc"]["b"]
+        out["scores"] = p5 @ params["score"]["W"] + params["score"]["b"]
+    if pred_mask:
+        d = jax.nn.relu(
+            deconv2x2_s2(h, params["deconv6"]["W"], params["deconv6"]["b"])
+        )
+        out["masks"] = (
+            jax.lax.conv_general_dilated(
+                d,
+                params["mask"]["W"],
+                (1, 1),
+                "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            + params["mask"]["b"]
+        )
+    return out
+
+
+def init_head(key, n_class, n_layers=50, loc_std=0.001, std=0.01):
+    """Initializers match the reference (mask_rcnn_resnet.py:57-64):
+    Normal(0.001) for cls_loc, Normal(0.01) for score/mask/deconv."""
+    ks = jax.random.split(key, 5)
+    n_fg = n_class - 1
+    return {
+        "res5": init_res5(ks[0], n_layers),
+        "cls_loc": {
+            "W": jax.random.normal(ks[1], (2048, n_class * 4), jnp.float32)
+            * loc_std,
+            "b": jnp.zeros((n_class * 4,), jnp.float32),
+        },
+        "score": {
+            "W": jax.random.normal(ks[2], (2048, n_class), jnp.float32)
+            * std,
+            "b": jnp.zeros((n_class,), jnp.float32),
+        },
+        "deconv6": {
+            "W": jax.random.normal(ks[3], (2, 2, 2048, 256), jnp.float32)
+            * std,
+            "b": jnp.zeros((256,), jnp.float32),
+        },
+        "mask": {
+            "W": jax.random.normal(ks[4], (1, 1, 256, n_fg), jnp.float32)
+            * std,
+            "b": jnp.zeros((n_fg,), jnp.float32),
+        },
+    }

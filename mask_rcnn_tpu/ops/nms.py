@@ -1,0 +1,112 @@
+"""Static-shape greedy NMS for TPU.
+
+The reference relies on chainercv's CUDA NMS kernel on ragged arrays
+(models/mask_rcnn.py:39,193 and inside ProposalCreator). On TPU we keep
+everything padded/fixed-size and compute the *exact greedy solution* without a
+long sequential dependency chain:
+
+Greedy NMS ("keep j iff no kept i<j with IoU(i,j) > thresh", boxes sorted by
+score) is the unique fixpoint of the parallel iteration
+
+    k^{t+1}[j] = valid[j] and not any_i ( k^t[i] and S[i, j] )
+
+where ``S[i, j] = (i < j) and IoU(i, j) > thresh``, starting from
+``k^0 = valid``. Boxes whose greedy decision depends on a suppression chain of
+depth <= t are stable after t iterations, so the loop terminates at the exact
+greedy answer in at most ``depth`` iterations (typically a handful), each a
+fully vectorized (N, N) masked reduction — VPU/MXU work rather than a
+6000-step scalar loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mask_rcnn_tpu.ops.boxes import bbox_iou
+
+
+def nms_fixpoint_mask(
+    bbox_sorted: jnp.ndarray,
+    valid_sorted: jnp.ndarray,
+    thresh: float,
+    max_iter: int | None = None,
+) -> jnp.ndarray:
+    """Exact greedy-NMS keep mask for boxes already sorted by descending score.
+
+    Args:
+        bbox_sorted: (N, 4) boxes in score order (highest first).
+        valid_sorted: (N,) bool, False rows are padding.
+        thresh: suppress j when IoU(i, j) > thresh (strict, chainercv parity).
+        max_iter: iteration cap; defaults to N (the theoretical worst case).
+
+    Returns:
+        (N,) bool keep mask.
+    """
+    n = bbox_sorted.shape[0]
+    if max_iter is None:
+        max_iter = n
+    iou = bbox_iou(bbox_sorted, bbox_sorted)
+    idx = jnp.arange(n)
+    suppresses = (
+        (iou > thresh)
+        & (idx[:, None] < idx[None, :])
+        & valid_sorted[:, None]
+        & valid_sorted[None, :]
+    )
+
+    def cond(state):
+        it, kept, prev = state
+        return (it < max_iter) & jnp.any(kept != prev)
+
+    def body(state):
+        it, kept, _ = state
+        suppressed = jnp.any(suppresses & kept[:, None], axis=0)
+        new_kept = valid_sorted & ~suppressed
+        return it + 1, new_kept, kept
+
+    init = (jnp.array(0), valid_sorted, jnp.zeros_like(valid_sorted))
+    _, kept, _ = jax.lax.while_loop(cond, body, init)
+    return kept
+
+
+def nms_padded(
+    bbox: jnp.ndarray,
+    score: jnp.ndarray,
+    thresh: float,
+    max_out: int,
+    valid: jnp.ndarray | None = None,
+):
+    """Greedy NMS over padded boxes.
+
+    Matches chainercv ``non_maximum_suppression`` semantics on the valid rows
+    (descending-score order, suppress at IoU > thresh), returning a fixed-size
+    result.
+
+    Args:
+        bbox: (N, 4) boxes (y1, x1, y2, x2).
+        score: (N,) scores.
+        thresh: IoU suppression threshold.
+        max_out: number of survivors to return (padded).
+        valid: optional (N,) bool mask of real rows.
+
+    Returns:
+        indices: (max_out,) int32 indices into the input, score-ordered,
+            -1 padded.
+        mask: (max_out,) bool validity of each returned slot.
+    """
+    n = bbox.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    neg_inf = jnp.asarray(-jnp.inf, dtype=score.dtype)
+    order = jnp.argsort(jnp.where(valid, score, neg_inf), descending=True)
+    bbox_sorted = jnp.take(bbox, order, axis=0)
+    valid_sorted = jnp.take(valid, order, axis=0)
+
+    kept = nms_fixpoint_mask(bbox_sorted, valid_sorted, thresh)
+
+    # Compact the kept rows to the front, preserving score order.
+    pos = jnp.argsort(~kept, stable=True)[:max_out]
+    out_mask = jnp.take(kept, pos)
+    out_idx = jnp.where(out_mask, jnp.take(order, pos), -1).astype(jnp.int32)
+    return out_idx, out_mask
