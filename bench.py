@@ -1,0 +1,65 @@
+"""Headline benchmark: Mask R-CNN R-50-C4 COCO single-image inference
+throughput on one TPU chip.
+
+Mirrors the reference speedtest (examples/coco/speedtest.py:14-56): R-50-C4,
+COCO config (800/1333), full predict pipeline per image. Reference anchor:
+3.24 Hz on a GTX 1080Ti (examples/coco/README.md:72, BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_HZ = 3.24
+
+
+def main():
+    import jax
+    from mask_rcnn_tpu.models import MaskRCNNConfig, init_params, predict_step
+
+    cfg = MaskRCNNConfig(
+        n_fg_class=80,
+        n_layers=50,
+        min_size=800,
+        max_size=1333,
+        anchor_scales=(2.0, 4.0, 8.0, 16.0, 32.0),
+        compute_dtype="bfloat16",
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+
+    # COCO-typical input: 800x1333 landscape, padded to the static bucket.
+    h, w = 832, 1344
+    rng = np.random.RandomState(0)
+    images = rng.randn(1, h, w, 3).astype(np.float32) * 60
+    sizes = np.asarray([[640.0, 1066.0]], np.float32)
+    scales = np.asarray([1.25], np.float32)
+
+    fn = jax.jit(lambda p, i, s, sc: predict_step(p, cfg, i, s, sc))
+    out = jax.block_until_ready(fn(params, images, sizes, scales))
+
+    n_warmup, n_eval = 3, 10
+    for _ in range(n_warmup):
+        out = jax.block_until_ready(fn(params, images, sizes, scales))
+    t0 = time.perf_counter()
+    for _ in range(n_eval):
+        out = jax.block_until_ready(fn(params, images, sizes, scales))
+    dt = (time.perf_counter() - t0) / n_eval
+    hz = 1.0 / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "R-50-C4 COCO inference throughput (1 TPU chip)",
+                "value": round(hz, 3),
+                "unit": "images/sec",
+                "vs_baseline": round(hz / BASELINE_HZ, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

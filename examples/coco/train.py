@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""COCO training entry (reference examples/coco/train.py parity):
+train2014 + valminusminival, eval on minival; min 800 / max 1333,
+anchor scales (2, 4, 8, 16, 32)."""
+
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
+sys.path.insert(0, osp.join(osp.dirname(__file__), "../.."))
+
+import train_common  # noqa: E402
+
+
+class ConcatDataset:
+    def __init__(self, *datasets):
+        self.datasets = datasets
+
+    def __len__(self):
+        return sum(len(d) for d in self.datasets)
+
+    def __getitem__(self, i):
+        for d in self.datasets:
+            if i < len(d):
+                return d[i]
+            i -= len(d)
+        raise IndexError
+
+
+def main():
+    from mask_rcnn_tpu.data import COCOInstanceSegmentationDataset
+
+    args = train_common.parse_args(
+        dataset_defaults=dict(max_epoch=(180e3 * 8) / 118287)
+    )
+    train_data = ConcatDataset(
+        COCOInstanceSegmentationDataset("train"),
+        COCOInstanceSegmentationDataset("valminusminival"),
+    )
+    test_data = COCOInstanceSegmentationDataset(
+        "minival", use_crowd=True, return_crowd=True, return_area=True
+    )
+    train_common.train(
+        args,
+        train_data,
+        test_data,
+        class_names=test_data.class_names,
+        dataset_kind="coco",
+        min_size=800,
+        max_size=1333,
+        anchor_scales=(2, 4, 8, 16, 32),
+    )
+
+
+if __name__ == "__main__":
+    main()

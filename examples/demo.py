@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Inference demo (reference examples/demo.py parity): rebuild a model from
+a log dir's params.yaml + snapshot_model.npz, predict on images, draw and
+save visualizations."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import sys
+import tempfile
+
+import cv2
+import numpy as np
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
+
+DATASET_DEFAULTS = {
+    "coco": dict(min_size=800, max_size=1333,
+                 anchor_scales=(2, 4, 8, 16, 32), n_fg_class=80),
+    "voc": dict(min_size=600, max_size=1000,
+                anchor_scales=(4, 8, 16, 32), n_fg_class=20),
+}
+
+
+def build_model_from_log_dir(log_dir: str):
+    from mask_rcnn_tpu.models.api import MaskRCNNResNet
+    from mask_rcnn_tpu.utils.logging import load_params_yaml
+
+    params_yaml = load_params_yaml(log_dir)
+    mc = params_yaml.get("model_config", {})
+    dataset = params_yaml.get("dataset", "coco")
+    defaults = DATASET_DEFAULTS.get(dataset, DATASET_DEFAULTS["coco"])
+    model = MaskRCNNResNet(
+        n_layers=mc.get("n_layers", 50),
+        n_fg_class=mc.get("n_fg_class", defaults["n_fg_class"]),
+        min_size=mc.get("min_size", defaults["min_size"]),
+        max_size=mc.get("max_size", defaults["max_size"]),
+        anchor_scales=tuple(
+            mc.get("anchor_scales", defaults["anchor_scales"])
+        ),
+        roi_size=mc.get("roi_size", 14),
+        pooling_func=mc.get("pooling", "align"),
+        pretrained_model=osp.join(log_dir, "snapshot_model.npz"),
+    )
+    return model, params_yaml
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("log_dir", help="logs/<timestamp> directory")
+    parser.add_argument("--images", nargs="+", required=True)
+    parser.add_argument("--score-thresh", type=float, default=0.7)
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args()
+
+    from mask_rcnn_tpu.utils.visualizations import draw_instance_bboxes
+    from mask_rcnn_tpu.utils import _itertools
+
+    model, params_yaml = build_model_from_log_dir(args.log_dir)
+    out_dir = args.out or tempfile.mkdtemp(prefix="mask_rcnn_tpu_demo_")
+    os.makedirs(out_dir, exist_ok=True)
+
+    imgs = []
+    for path in args.images:
+        bgr = cv2.imread(path, cv2.IMREAD_COLOR)
+        imgs.append((path, bgr[:, :, ::-1].copy()))
+
+    for chunk in _itertools.batch(imgs, n=2):
+        chw = [im.transpose(2, 0, 1).astype(np.float32) for _, im in chunk]
+        bboxes, masks, labels, scores = model.predict(chw)
+        for (path, img), bb, mk, lb, sc in zip(
+            chunk, bboxes, masks, labels, scores
+        ):
+            keep = sc >= args.score_thresh
+            order = np.argsort(-sc[keep])
+            viz = draw_instance_bboxes(
+                img, bb[keep][order], lb[keep][order],
+                n_class=model.n_class, masks=mk[keep][order],
+                scores=sc[keep][order],
+            )
+            out_path = osp.join(out_dir, osp.basename(path))
+            cv2.imwrite(out_path, viz[:, :, ::-1])
+            print(f"{path}: {int(keep.sum())} detections -> {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+"""Batch assembly for static-shape TPU training.
+
+Replaces the reference's ragged ``concat_examples`` padding
+(datasets/concat_examples.py:6-34, which keeps bboxes as per-image CPU
+lists) with fully padded dense batches:
+
+  * images zero-padded into one of two orientation buckets (landscape /
+    portrait) derived from (min_size, max_size) and rounded up to a multiple
+    of 64 — so the train step compiles at most twice;
+  * gt boxes/labels/masks padded to ``max_boxes`` with validity masks;
+  * a deterministic per-host shard of the global batch (replaces
+    ``chainermn.scatter_dataset``).
+"""
+
+from __future__ import annotations
+
+import threading
+import queue as queue_mod
+from typing import Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def bucket_shape(h: int, w: int, min_size: int, max_size: int):
+    """The static padded shape for a resized (h, w) image: orientation
+    bucket with short side >= min_size, long side >= max_size, 64-aligned."""
+    short = round_up(min_size, 64)
+    long_ = round_up(max_size, 64)
+    if w >= h:
+        return (short if h <= short else round_up(h, 64),
+                long_ if w <= long_ else round_up(w, 64))
+    return (long_ if h <= long_ else round_up(h, 64),
+            short if w <= short else round_up(w, 64))
+
+
+def pad_batch(
+    examples: Sequence,
+    max_boxes: int,
+    min_size: int,
+    max_size: int,
+) -> Dict[str, np.ndarray]:
+    """Transformed examples [(img, bbox, label, mask, scale), ...] ->
+    padded batch dict (all images share one bucket = max over the batch)."""
+    n = len(examples)
+    shapes = [
+        bucket_shape(e[0].shape[0], e[0].shape[1], min_size, max_size)
+        for e in examples
+    ]
+    hp = max(s[0] for s in shapes)
+    wp = max(s[1] for s in shapes)
+
+    images = np.zeros((n, hp, wp, 3), np.float32)
+    bbox = np.zeros((n, max_boxes, 4), np.float32)
+    label = np.zeros((n, max_boxes), np.int32)
+    bbox_valid = np.zeros((n, max_boxes), bool)
+    mask = np.zeros((n, max_boxes, hp, wp), np.uint8)
+    scale = np.zeros((n,), np.float32)
+
+    for i, (img, b, l, m, s) in enumerate(examples):
+        h, w = img.shape[:2]
+        images[i, :h, :w] = img
+        g = min(len(b), max_boxes)
+        if g:
+            bbox[i, :g] = b[:g]
+            label[i, :g] = l[:g]
+            bbox_valid[i, :g] = True
+            mask[i, :g, :h, :w] = m[:g]
+        scale[i] = s
+    return {
+        "image": images,
+        "bbox": bbox,
+        "label": label,
+        "bbox_valid": bbox_valid,
+        "mask": mask,
+        "scale": scale,
+    }
+
+
+class TrainLoader:
+    """Shuffled epoch iterator producing padded batches, with per-host
+    sharding and background prefetch (one worker thread; dataset decode is
+    python/cv2 so threads suffice for overlap with device steps)."""
+
+    def __init__(
+        self,
+        dataset,
+        transform,
+        batch_size: int,
+        max_boxes: int = 64,
+        min_size: int = 600,
+        max_size: int = 1000,
+        seed: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.transform = transform
+        self.batch_size = batch_size
+        self.max_boxes = max_boxes
+        self.min_size = min_size
+        self.max_size = max_size
+        self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
+        self.prefetch = prefetch
+
+    def epoch_indices(self, epoch: int) -> np.ndarray:
+        rng = np.random.RandomState(self.seed + epoch)
+        idx = rng.permutation(len(self.dataset))
+        # Per-host contiguous shard of the shuffled order (replaces
+        # chainermn.scatter_dataset(shuffle=True)).
+        per = len(idx) // self.process_count
+        return idx[self.process_index * per:(self.process_index + 1) * per]
+
+    def _make_batches(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        idx = self.epoch_indices(epoch)
+        nb = len(idx) // self.batch_size
+        for b in range(nb):
+            batch_idx = idx[b * self.batch_size:(b + 1) * self.batch_size]
+            examples = [
+                self.transform(self.dataset[int(i)]) for i in batch_idx
+            ]
+            yield pad_batch(
+                examples, self.max_boxes, self.min_size, self.max_size
+            )
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Prefetching iterator over one epoch."""
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            try:
+                for batch in self._make_batches(epoch):
+                    q.put(batch)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+
+    def steps_per_epoch(self) -> int:
+        return len(self.epoch_indices(0)) // self.batch_size

@@ -1,0 +1,159 @@
+"""VOC2012 / SBD / VOC-like instance segmentation datasets.
+
+Capability parity with reference datasets/voc/voc.py, datasets/voc/sbd.py and
+examples/custom_dataset (VOCLikeDataset): examples are
+``(img (H, W, 3) RGB uint8, bboxes (R, 4) f32, labels (R,) i32 0-based fg,
+masks (R, H, W) i32)``.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+
+import cv2
+import numpy as np
+
+from mask_rcnn_tpu.utils.geometry import label2instance_boxes
+
+VOC_CLASS_NAMES = (
+    "aeroplane", "bicycle", "bird", "boat", "bottle", "bus", "car", "cat",
+    "chair", "cow", "diningtable", "dog", "horse", "motorbike", "person",
+    "pottedplant", "sheep", "sofa", "train", "tvmonitor",
+)
+
+
+def _read_label_png(path: str) -> np.ndarray:
+    """Palette PNG -> int32 label image; 255 -> -1 (VOC ignore)."""
+    from PIL import Image
+
+    lbl = np.asarray(Image.open(path)).astype(np.int32)
+    lbl[lbl == 255] = -1
+    return lbl
+
+
+def _example_from_labels(img, lbl_cls, lbl_ins):
+    labels, bboxes, masks = label2instance_boxes(lbl_ins, lbl_cls)
+    return (
+        img,
+        bboxes.astype(np.float32),
+        (labels - 1).astype(np.int32),  # 0-based fg classes
+        masks.astype(np.int32),
+    )
+
+
+class VOC2012InstanceSegmentationDataset:
+    """VOC2012 SegmentationClass/SegmentationObject pairs
+    (reference datasets/voc/voc.py:13-129)."""
+
+    class_names = VOC_CLASS_NAMES
+
+    def __init__(self, split: str = "train",
+                 root: str = "~/data/datasets/VOC/VOCdevkit/VOC2012"):
+        if split not in ("train", "val"):
+            raise ValueError(split)
+        self.root = osp.expanduser(root)
+        split_file = osp.join(
+            self.root, "ImageSets/Segmentation", f"{split}.txt"
+        )
+        with open(split_file) as f:
+            self.ids = [line.strip() for line in f if line.strip()]
+
+    def __len__(self):
+        return len(self.ids)
+
+    def get_example(self, i: int):
+        did = self.ids[i]
+        img_path = osp.join(self.root, "JPEGImages", did + ".jpg")
+        cls_path = osp.join(self.root, "SegmentationClass", did + ".png")
+        ins_path = osp.join(self.root, "SegmentationObject", did + ".png")
+        bgr = cv2.imread(img_path, cv2.IMREAD_COLOR)
+        img = bgr[:, :, ::-1].copy()
+        lbl_cls = _read_label_png(cls_path)
+        lbl_ins = _read_label_png(ins_path)
+        return _example_from_labels(img, lbl_cls, lbl_ins)
+
+    __getitem__ = get_example
+
+
+class SBDInstanceSegmentationDataset:
+    """SBD (benchmark_RELEASE) .mat GTcls/GTinst loader
+    (reference datasets/voc/sbd.py:16-70).
+
+    The reference vendors FCIS's 5623/5732 train/val id lists; pass
+    ``split_file`` to use a custom list, otherwise the dataset's own
+    ``train.txt``/``val.txt`` are used.
+    """
+
+    class_names = VOC_CLASS_NAMES
+
+    def __init__(self, split: str = "train",
+                 root: str = "~/data/datasets/VOC/benchmark_RELEASE/dataset",
+                 split_file: str | None = None):
+        self.root = osp.expanduser(root)
+        split_file = split_file or osp.join(self.root, f"{split}.txt")
+        with open(split_file) as f:
+            self.ids = [line.strip() for line in f if line.strip()]
+
+    def __len__(self):
+        return len(self.ids)
+
+    def get_example(self, i: int):
+        import scipy.io
+
+        did = self.ids[i]
+        img_path = osp.join(self.root, "img", did + ".jpg")
+        bgr = cv2.imread(img_path, cv2.IMREAD_COLOR)
+        img = bgr[:, :, ::-1].copy()
+        cls_mat = scipy.io.loadmat(
+            osp.join(self.root, "cls", did + ".mat")
+        )
+        ins_mat = scipy.io.loadmat(
+            osp.join(self.root, "inst", did + ".mat")
+        )
+        lbl_cls = cls_mat["GTcls"][0][0]["Segmentation"].astype(np.int32)
+        lbl_ins = ins_mat["GTinst"][0][0]["Segmentation"].astype(np.int32)
+        lbl_ins[lbl_ins == 255] = -1
+        return _example_from_labels(img, lbl_cls, lbl_ins)
+
+    __getitem__ = get_example
+
+
+class VOCLikeDataset:
+    """Bring-your-own-dataset contract (reference
+    examples/custom_dataset/train.py:19-87): a directory of images + npy
+    class/instance label images."""
+
+    def __init__(self, img_paths, cls_paths, ins_paths, class_names):
+        assert len(img_paths) == len(cls_paths) == len(ins_paths)
+        self.img_paths = list(img_paths)
+        self.cls_paths = list(cls_paths)
+        self.ins_paths = list(ins_paths)
+        self.class_names = tuple(class_names)
+
+    def __len__(self):
+        return len(self.img_paths)
+
+    def get_example(self, i: int):
+        bgr = cv2.imread(self.img_paths[i], cv2.IMREAD_COLOR)
+        img = bgr[:, :, ::-1].copy()
+        lbl_cls = np.load(self.cls_paths[i]).astype(np.int32)
+        lbl_ins = np.load(self.ins_paths[i]).astype(np.int32)
+        return _example_from_labels(img, lbl_cls, lbl_ins)
+
+    __getitem__ = get_example
+
+
+class IndexingDataset:
+    """Subset view by indices (reference datasets/indexing_dataset.py)."""
+
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = list(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def get_example(self, i):
+        return self.dataset[self.indices[i]]
+
+    __getitem__ = get_example

@@ -1,0 +1,158 @@
+"""Evaluation + visualization-report hooks (reference extensions layer
+parity: InstanceSegmentationCOCOEvaluator / VOCEvaluator / VisReport,
+extensions/*.py)."""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from mask_rcnn_tpu.utils.cocoeval import eval_instseg_coco
+from mask_rcnn_tpu.utils.voc_eval import eval_instseg_voc
+from mask_rcnn_tpu.utils.visualizations import (
+    get_tile_image,
+    visualize_instance_segmentation,
+)
+
+
+def _iter_batches(dataset, batch_size):
+    batch = []
+    for i in range(len(dataset)):
+        batch.append(dataset[i])
+        if len(batch) == batch_size:
+            yield batch
+            batch = []
+    if batch:
+        yield batch
+
+
+class InstanceSegmentationEvaluator:
+    """Runs model.predict over a dataset and computes COCO or VOC metrics.
+
+    Report keys mirror the reference extensions
+    (instance_segmentation_coco_evaluator.py:54-70): 'validation/main/map',
+    'validation/main/map@0.5', 'validation/main/map@0.75' (COCO), per-class
+    'validation/main/ap/<class>'.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        class_names: Sequence[str],
+        kind: str = "coco",
+        batch_size: int = 2,
+        use_07_metric: bool = False,
+        max_examples: Optional[int] = None,
+    ):
+        assert kind in ("coco", "voc")
+        self.dataset = dataset
+        self.class_names = list(class_names)
+        self.kind = kind
+        self.batch_size = batch_size
+        self.use_07_metric = use_07_metric
+        self.max_examples = max_examples
+
+    def __call__(self, model) -> Dict[str, float]:
+        pred_masks, pred_labels, pred_scores = [], [], []
+        gt_masks, gt_labels, gt_crowds, gt_areas = [], [], [], []
+        n = len(self.dataset)
+        if self.max_examples:
+            n = min(n, self.max_examples)
+
+        for start in range(0, n, self.batch_size):
+            examples = [
+                self.dataset[i]
+                for i in range(start, min(start + self.batch_size, n))
+            ]
+            imgs = [e[0].transpose(2, 0, 1).astype(np.float32)
+                    for e in examples]
+            bboxes, masks, labels, scores = model.predict(imgs)
+            for e, mk, lb, sc in zip(examples, masks, labels, scores):
+                pred_masks.append(mk)
+                pred_labels.append(lb)
+                pred_scores.append(sc)
+                gt_labels.append(e[2])
+                gt_masks.append(np.asarray(e[3], bool))
+                gt_crowds.append(e[4] if len(e) > 4 else None)
+                gt_areas.append(e[5] if len(e) > 5 else None)
+
+        report = {}
+        if self.kind == "coco":
+            res = eval_instseg_coco(
+                pred_masks, pred_labels, pred_scores,
+                gt_masks, gt_labels,
+                gt_crowds if any(c is not None for c in gt_crowds) else None,
+                gt_areas if any(a is not None for a in gt_areas) else None,
+            )
+            report["validation/main/map"] = res[
+                "map/iou=0.50:0.95/area=all/maxDets=100"
+            ]
+            report["validation/main/map@0.5"] = res[
+                "map/iou=0.50/area=all/maxDets=100"
+            ]
+            report["validation/main/map@0.75"] = res[
+                "map/iou=0.75/area=all/maxDets=100"
+            ]
+            class_ap = res["ap/iou=0.50:0.95/area=all/maxDets=100"]
+            for cid, ap in zip(res["class_ids"], class_ap):
+                if 0 <= cid < len(self.class_names):
+                    report[
+                        f"validation/main/ap/{self.class_names[cid]}"
+                    ] = float(ap)
+        else:
+            res = eval_instseg_voc(
+                pred_masks, pred_labels, pred_scores, gt_masks, gt_labels,
+                use_07_metric=self.use_07_metric,
+            )
+            report["validation/main/map"] = res["map"]
+            for cid, ap in enumerate(res["ap"]):
+                if not np.isnan(ap) and cid < len(self.class_names):
+                    report[
+                        f"validation/main/ap/{self.class_names[cid]}"
+                    ] = float(ap)
+        return report
+
+
+class VisReport:
+    """GT-vs-prediction tile renderer (reference
+    extensions/instance_segmentation_vis_report.py:16-98)."""
+
+    def __init__(self, dataset, class_names, out_dir,
+                 indices: Sequence[int] = (0, 1, 2, 3, 4, 5, 6, 7, 8),
+                 score_thresh: float = 0.7):
+        self.dataset = dataset
+        self.class_names = list(class_names)
+        self.out_dir = out_dir
+        self.indices = [i for i in indices if i < len(dataset)]
+        self.score_thresh = score_thresh
+
+    def __call__(self, model, iteration: int = 0):
+        import cv2
+
+        panels = []
+        for i in self.indices:
+            e = self.dataset[i]
+            img = e[0]
+            chw = img.transpose(2, 0, 1).astype(np.float32)
+            bboxes, masks, labels, scores = model.predict([chw])
+            keep = scores[0] >= self.score_thresh
+            panel = visualize_instance_segmentation(
+                img, e[1], e[2], np.asarray(e[3], bool),
+                bboxes[0][keep], labels[0][keep], masks[0][keep],
+                scores[0][keep], n_class=len(self.class_names),
+            )
+            panels.append(panel)
+        if not panels:
+            return None
+        tile = get_tile_image(panels)
+        vis_dir = osp.join(self.out_dir, "visualizations")
+        os.makedirs(vis_dir, exist_ok=True)
+        out_bgr = tile[:, :, ::-1]
+        cv2.imwrite(
+            osp.join(vis_dir, "iteration=%08d.jpg" % iteration), out_bgr
+        )
+        cv2.imwrite(osp.join(vis_dir, "latest.jpg"), out_bgr)
+        return tile

@@ -1,0 +1,187 @@
+"""End-to-end training orchestration (reference examples/train_common.py
+parity, TPU-native).
+
+Responsibilities carried over 1:1 (train_common.py:78-354): derived LR
+(0.00125 * global batch), step decay at 120/180 & 160/180, params.yaml +
+JSON log + plots in logs/<timestamp>/, periodic evaluation, best-mAP
+``snapshot_model.npz``, visualization report, process-0-only side effects.
+
+TPU-native replacements: ChainerMN -> Mesh data parallelism (one process
+drives all local devices; multi-host via jax.distributed), SerialIterator ->
+prefetching TrainLoader with per-host shards, StandardUpdater -> a jitted
+pjit train step.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+import time
+from dataclasses import asdict
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from mask_rcnn_tpu.engine.evaluator import (
+    InstanceSegmentationEvaluator,
+    VisReport,
+)
+from mask_rcnn_tpu.engine.trainer import (
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+from mask_rcnn_tpu.models.api import MaskRCNNResNet
+from mask_rcnn_tpu.models.mask_rcnn import MaskRCNNConfig, init_params
+from mask_rcnn_tpu.parallel import (
+    make_mesh,
+    make_parallel_train_step,
+    process_zero,
+    replicated,
+    shard_batch,
+)
+from mask_rcnn_tpu.utils.checkpoint import save_params
+from mask_rcnn_tpu.utils.logging import (
+    LogReport,
+    dump_params,
+    plot_metrics,
+)
+
+
+def train(
+    cfg: MaskRCNNConfig,
+    train_loader,
+    out_dir: str,
+    max_epoch: float,
+    batch_size_per_device: int = 1,
+    evaluator: Optional[InstanceSegmentationEvaluator] = None,
+    vis_report: Optional[VisReport] = None,
+    eval_interval_epochs: float = 1.0,
+    log_interval: int = 20,
+    seed: int = 0,
+    lr: Optional[float] = None,
+    extra_params: Optional[Dict] = None,
+) -> Dict:
+    """Run the full training schedule; returns the final report."""
+    mesh = make_mesh()
+    n_devices = len(mesh.devices.ravel())
+    global_batch = batch_size_per_device * n_devices * jax.process_count()
+    base_lr = lr if lr is not None else 0.00125 * global_batch
+
+    steps_per_epoch = train_loader.steps_per_epoch()
+    total_steps = int(max_epoch * steps_per_epoch)
+
+    params = init_params(jax.random.PRNGKey(seed), cfg)
+    optimizer, schedule = make_optimizer(params, base_lr, total_steps)
+    state = create_train_state(params, optimizer)
+    step_fn = make_train_step(cfg, optimizer)
+    p_step = make_parallel_train_step(step_fn, mesh)
+
+    rep = replicated(mesh)
+    state = jax.device_put(state, rep)
+
+    log = LogReport(out_dir)
+    if process_zero():
+        dump_params(
+            out_dir,
+            {
+                "model_config": asdict(cfg),
+                "batch_size": global_batch,
+                "lr": base_lr,
+                "max_epoch": max_epoch,
+                "seed": seed,
+                "n_devices": n_devices,
+                **(extra_params or {}),
+            },
+        )
+
+    best_map = -1.0
+    it = 0
+    t_start = time.time()
+    running: Dict[str, float] = {}
+    epoch = 0
+    eval_every = max(int(eval_interval_epochs * steps_per_epoch), 1)
+
+    while it < total_steps:
+        for batch in train_loader.epoch(epoch):
+            if it >= total_steps:
+                break
+            rng = jax.device_put(
+                jax.random.fold_in(jax.random.PRNGKey(seed), it), rep
+            )
+            sbatch = shard_batch(batch, mesh)
+            state, metrics = p_step(state, sbatch, rng)
+            it += 1
+
+            for k, v in jax.device_get(metrics).items():
+                running[k] = running.get(k, 0.0) + float(v)
+            if it % log_interval == 0 and process_zero():
+                entry = {
+                    "epoch": epoch,
+                    "iteration": it,
+                    "elapsed_time": time.time() - t_start,
+                    "lr": float(schedule(it)),
+                }
+                entry.update(
+                    {
+                        "main/" + k: v / log_interval
+                        for k, v in running.items()
+                    }
+                )
+                running = {}
+                log.append(entry)
+                print(
+                    f"[it {it}/{total_steps}] "
+                    + " ".join(
+                        f"{k.split('/')[-1]}={v:.4f}"
+                        for k, v in entry.items()
+                        if k.startswith("main/")
+                    )
+                )
+
+            if evaluator is not None and it % eval_every == 0:
+                report = _evaluate(
+                    cfg, state, evaluator, vis_report, it
+                )
+                if process_zero():
+                    entry = {"epoch": epoch, "iteration": it}
+                    entry.update(report)
+                    log.append(entry)
+                    cur = report.get("validation/main/map", -1)
+                    if cur > best_map:
+                        best_map = cur
+                        save_params(
+                            osp.join(out_dir, "snapshot_model.npz"),
+                            jax.device_get(state.params),
+                        )
+                    plot_metrics(
+                        out_dir, log.entries,
+                        [f"main/{k}" for k in (
+                            "loss", "roi_mask_loss", "rpn_cls_loss")],
+                        "loss.png",
+                    )
+                    plot_metrics(
+                        out_dir, log.entries,
+                        ["validation/main/map"], "accuracy.png",
+                    )
+        epoch += 1
+
+    # Final snapshot if never evaluated.
+    if best_map < 0 and process_zero():
+        save_params(
+            osp.join(out_dir, "snapshot_model.npz"),
+            jax.device_get(state.params),
+        )
+    return {"best_map": best_map, "iterations": it,
+            "elapsed": time.time() - t_start}
+
+
+def _evaluate(cfg, state, evaluator, vis_report, iteration):
+    params = jax.device_get(state.params)
+    model = MaskRCNNResNet.from_config(cfg, params)
+    report = evaluator(model)
+    if vis_report is not None and process_zero():
+        model.score_thresh = vis_report.score_thresh
+        vis_report(model, iteration)
+        model.score_thresh = 0.05
+    return report

@@ -1,0 +1,179 @@
+"""User-facing model API: the reference's ``MaskRCNNResNet`` surface
+(models/mask_rcnn_resnet.py:30-116 + MaskRCNN.predict, models/mask_rcnn.py:307)
+on top of the jitted TPU graph.
+
+Host responsibilities: image resize/normalize (cv2, matching ``prepare``,
+mask_rcnn.py:152-176), shape bucketing/padding (bounded jit recompiles), and
+final mask pasting. Device: everything else, one compiled program per input
+bucket.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mask_rcnn_tpu.models.mask_rcnn import (
+    MaskRCNNConfig,
+    init_params,
+    predict_step,
+)
+from mask_rcnn_tpu.models import rpn as rpn_mod
+from mask_rcnn_tpu.utils.masks import paste_masks
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class MaskRCNNResNet:
+    """Mask R-CNN R-50/101-C4 with the reference's constructor surface.
+
+    Reference parity: same defaults, same ``predict`` contract — input is a
+    list of (3, H, W) float32 RGB images (0-255), output is per-image
+    ``(bboxes (R,4) y1x1y2x2, masks (R,H,W) bool, labels (R,) 0-based,
+    scores (R,))``.
+    """
+
+    def __init__(
+        self,
+        n_layers: int = 50,
+        n_fg_class: Optional[int] = None,
+        pretrained_model: Optional[str] = None,
+        min_size: int = 600,
+        max_size: int = 1000,
+        ratios=(0.5, 1.0, 2.0),
+        anchor_scales=(4.0, 8.0, 16.0, 32.0),
+        mean=(123.152, 115.903, 103.063),
+        roi_size: int = 14,
+        pooling_func: str = "align",
+        proposal_creator_params: Optional[dict] = None,
+        rng_seed: int = 0,
+        compute_dtype: str = "float32",
+    ):
+        if n_fg_class is None:
+            raise ValueError("n_fg_class is required")
+        pcp = dict(
+            min_size=0.0, n_test_pre_nms=6000, n_test_post_nms=1000
+        )
+        if proposal_creator_params:
+            pcp.update(proposal_creator_params)
+        self.config = MaskRCNNConfig(
+            n_fg_class=n_fg_class,
+            n_layers=n_layers,
+            min_size=min_size,
+            max_size=max_size,
+            ratios=tuple(ratios),
+            anchor_scales=tuple(float(s) for s in anchor_scales),
+            mean=tuple(mean),
+            roi_size=roi_size,
+            pooling=pooling_func,
+            proposal=rpn_mod.ProposalConfig(**pcp),
+            compute_dtype=compute_dtype,
+        )
+        self.params = init_params(
+            jax.random.PRNGKey(rng_seed), self.config
+        )
+        if pretrained_model:
+            from mask_rcnn_tpu.utils.checkpoint import load_params
+
+            self.params = load_params(pretrained_model, self.params)
+        self.score_thresh = 0.05
+        self._jitted = {}
+
+    @classmethod
+    def from_config(cls, config: MaskRCNNConfig, params) -> "MaskRCNNResNet":
+        """Wrap existing (cfg, params) — used by the trainer's evaluation
+        hooks to run inference on in-training parameters."""
+        model = cls.__new__(cls)
+        model.config = config
+        model.params = params
+        model.score_thresh = 0.05
+        model._jitted = {}
+        return model
+
+    # -- reference-compatible knobs -------------------------------------
+    @property
+    def n_class(self):
+        return self.config.n_class
+
+    def use_preset(self, preset: str):
+        """'visualize' -> score 0.7; 'evaluate' -> 0.05 (chainercv idiom)."""
+        self.score_thresh = {"visualize": 0.7, "evaluate": 0.05}[preset]
+
+    # -- preprocessing ---------------------------------------------------
+    def prepare(self, imgs: Sequence[np.ndarray]):
+        """Resize so min side = min_size capped by max_size; subtract mean.
+
+        Matches reference ``prepare`` (models/mask_rcnn.py:152-176).
+        """
+        prepared, sizes, scales = [], [], []
+        mean = np.asarray(self.config.mean, np.float32)
+        for img in imgs:
+            if img.ndim != 3:
+                raise ValueError("expected (3, H, W) images")
+            _, h, w = img.shape
+            scale = 1.0
+            if self.config.min_size:
+                scale = self.config.min_size / min(h, w)
+            if self.config.max_size and scale * max(h, w) > self.config.max_size:
+                scale = self.config.max_size / max(h, w)
+            hwc = img.transpose(1, 2, 0).astype(np.float32)
+            hwc = cv2.resize(hwc, None, fx=scale, fy=scale)
+            hwc = hwc - mean
+            prepared.append(hwc)
+            sizes.append((h, w))
+            scales.append(scale)
+        return prepared, sizes, scales
+
+    # -- compiled graph cache -------------------------------------------
+    def _get_predict_fn(self, n: int, hp: int, wp: int):
+        key = (n, hp, wp, self.config.score_thresh)
+        if key not in self._jitted:
+            cfg = self.config
+            self._jitted[key] = jax.jit(
+                functools.partial(predict_step, cfg=cfg)
+            )
+        return self._jitted[key]
+
+    # -- inference -------------------------------------------------------
+    def predict(
+        self, imgs: Sequence[np.ndarray]
+    ) -> Tuple[List[np.ndarray], List[np.ndarray], List[np.ndarray],
+               List[np.ndarray]]:
+        prepared, sizes, scales = self.prepare(imgs)
+        n = len(prepared)
+        hp = round_up(max(p.shape[0] for p in prepared), 32)
+        wp = round_up(max(p.shape[1] for p in prepared), 32)
+        x = np.zeros((n, hp, wp, 3), np.float32)
+        for i, p in enumerate(prepared):
+            x[i, : p.shape[0], : p.shape[1]] = p
+
+        fn = self._get_predict_fn(n, hp, wp)
+        out = fn(
+            self.params,
+            images=jnp.asarray(x),
+            sizes=jnp.asarray(sizes, jnp.float32),
+            scales=jnp.asarray(scales, jnp.float32),
+        )
+        out = jax.device_get(out)
+
+        bboxes, masks, labels, scores = [], [], [], []
+        for i in range(n):
+            valid = out["valid"][i] & (out["scores"][i] >= self.score_thresh)
+            bbox = out["boxes"][i][valid].astype(np.float32)
+            label = out["labels"][i][valid].astype(np.int32)
+            score = out["scores"][i][valid].astype(np.float32)
+            probs = out["mask_probs"][i][valid].astype(np.float32)
+            im_h, im_w = sizes[i]
+            mask = paste_masks(bbox, probs, im_h, im_w)
+            bboxes.append(bbox)
+            masks.append(mask)
+            labels.append(label)
+            scores.append(score)
+        return bboxes, masks, labels, scores

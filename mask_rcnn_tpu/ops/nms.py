@@ -109,4 +109,8 @@ def nms_padded(
     pos = jnp.argsort(~kept, stable=True)[:max_out]
     out_mask = jnp.take(kept, pos)
     out_idx = jnp.where(out_mask, jnp.take(order, pos), -1).astype(jnp.int32)
+    if out_idx.shape[0] < max_out:  # fewer inputs than requested outputs
+        pad = max_out - out_idx.shape[0]
+        out_idx = jnp.pad(out_idx, (0, pad), constant_values=-1)
+        out_mask = jnp.pad(out_mask, (0, pad))
     return out_idx, out_mask

@@ -29,8 +29,6 @@ Reference semantics replicated exactly (functions/roi_align_2d.py:61-160):
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -379,5 +377,5 @@ def roi_pool(
 POOLING_FUNCS = {
     "align": roi_align,
     "resize": crop_and_resize,
-    "pooling": functools.partial(roi_pool),
+    "pooling": roi_pool,
 }

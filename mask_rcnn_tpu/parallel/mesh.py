@@ -1,0 +1,73 @@
+"""Data-parallel training over a jax.sharding.Mesh.
+
+This replaces the reference's entire ChainerMN stack (SURVEY.md §2.6):
+  * `chainermn.create_communicator('hierarchical')` (NCCL+MPI, one process
+    per GPU, mpirun launcher)            -> a single-program Mesh over all
+    local/global devices;
+  * `create_multi_node_optimizer` gradient allreduce -> the psum XLA inserts
+    when the batch axis is sharded and params are replicated;
+  * `scatter_dataset`                     -> deterministic per-host slicing in
+    the data loader (data/loader.py);
+  * `comm.rank == 0` gating               -> `jax.process_index() == 0`.
+
+Multi-host: call `jax.distributed.initialize()` before anything else; the
+same code then runs over ICI within a slice and DCN across hosts.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), ("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the 'data' mesh axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a host batch dict onto the mesh, batch-dim sharded."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def make_parallel_train_step(step_fn, mesh: Mesh):
+    """jit the train step with params/opt-state replicated and the batch
+    sharded along 'data'. XLA inserts the gradient all-reduce (psum) over
+    ICI — no explicit collectives needed.
+    """
+    rep = replicated(mesh)
+    data = batch_sharding(mesh)
+
+    return jax.jit(
+        step_fn,
+        in_shardings=(rep, data, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+def process_zero() -> bool:
+    return jax.process_index() == 0
+
+
+def local_batch_slice(global_batch: int,
+                      process_index: Optional[int] = None) -> slice:
+    """Deterministic per-host shard of a global batch (replaces
+    chainermn.scatter_dataset)."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count()
+    per = global_batch // pc
+    return slice(pi * per, (pi + 1) * per)

@@ -1,0 +1,70 @@
+"""Parameter checkpointing: flat-npz save/load (chainer-snapshot-style
+schema) and pytree flattening helpers.
+
+The on-disk format is a flat npz keyed by slash-joined tree paths
+(``extractor/res2/a/conv1/W``) — deliberately the same *shape* of contract as
+the reference's ``snapshot_model.npz`` (SURVEY.md §5 checkpoint notes) so
+weight conversion tooling is a mechanical rename. Values are stored in this
+framework's native layouts (HWIO convs, (in, out) linears, NHWC activations).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import numpy as np
+
+
+def flatten_params(params, prefix="") -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in params.items():
+        path = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(flatten_params(v, path))
+        else:
+            out[path] = np.asarray(v)
+    return out
+
+
+def unflatten_params(flat: Dict[str, np.ndarray]):
+    tree: dict = {}
+    for path, v in flat.items():
+        keys = path.split("/")
+        node = tree
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = v
+    return tree
+
+
+def save_params(path: str, params) -> None:
+    np.savez(path, **flatten_params(params))
+
+
+def load_params(path: str, like=None):
+    """Load params from npz. If ``like`` is given, validate that the loaded
+    tree has exactly the same paths/shapes and cast to its dtypes."""
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+    tree = unflatten_params(flat)
+    if like is not None:
+        want = flatten_params(like)
+        missing = set(want) - set(flat)
+        extra = set(flat) - set(want)
+        if missing or extra:
+            raise ValueError(
+                f"param tree mismatch: missing={sorted(missing)[:5]} "
+                f"extra={sorted(extra)[:5]}"
+            )
+        for k, v in want.items():
+            if flat[k].shape != v.shape:
+                raise ValueError(
+                    f"shape mismatch at {k}: {flat[k].shape} vs {v.shape}"
+                )
+        tree = jax.tree.map(
+            lambda loaded, ref: np.asarray(loaded, ref.dtype),
+            tree,
+            jax.tree.map(np.asarray, like),
+        )
+    return tree

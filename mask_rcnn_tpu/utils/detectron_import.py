@@ -1,0 +1,232 @@
+"""Pretrained-weight importers.
+
+``import_detectron_pkl``: Detectron e2e_mask_rcnn_R-50-C4_1x caffe2 blobs ->
+this framework's param tree. Replicates every conversion trap the reference
+handles (examples/coco/convert_caffe2_to_chainer.py):
+  * conv1 BGR->RGB input-channel flip (:47);
+  * RPN and box-head loc coordinate reorder (dx,dy,dw,dh)->(dy,dx,dh,dw)
+    (:183-195, :230-243);
+  * mask logits background-channel drop (:247-249);
+plus this framework's layout changes: conv OIHW->HWIO, linear (out,in)->
+(in,out), deconv (Cin,Cout,kH,kW)->(kH,kW,Cin,Cout).
+
+``import_chainer_npz``: a reference ``snapshot_model.npz`` -> our tree
+(pure layout transposes; coordinates are already y-first).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Dict
+
+import numpy as np
+
+from mask_rcnn_tpu.models.resnet import RESNET_N_BLOCKS
+
+# Detectron mean (written into params.yaml by the reference converter,
+# convert_caffe2_to_chainer.py:287-303).
+DETECTRON_MEAN = (122.7717, 115.9465, 102.9801)
+
+_LOC_REORDER = [1, 0, 3, 2]  # (x, y, w, h) -> (y, x, h, w)
+
+
+def _conv(w):
+    """caffe2 OIHW -> HWIO."""
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def _loc_channel_reorder(n_groups):
+    idx = np.arange(n_groups * 4).reshape(n_groups, 4)
+    return idx[:, _LOC_REORDER].reshape(-1)
+
+
+def _block_names(n_blocks):
+    return ["a"] + [f"b{i}" for i in range(1, n_blocks)]
+
+
+def _import_bottleneck(blobs, prefix, has_proj):
+    branch = {"conv1": "branch2a", "conv2": "branch2b", "conv3": "branch2c"}
+    p = {}
+    for ours, theirs in branch.items():
+        p[ours] = {"W": _conv(blobs[f"{prefix}_{theirs}_w"])}
+        bn = ours.replace("conv", "bn")
+        p[bn] = {
+            "scale": blobs[f"{prefix}_{theirs}_bn_s"].astype(np.float32),
+            "bias": blobs[f"{prefix}_{theirs}_bn_b"].astype(np.float32),
+        }
+    if has_proj:
+        p["conv4"] = {"W": _conv(blobs[f"{prefix}_branch1_w"])}
+        p["bn4"] = {
+            "scale": blobs[f"{prefix}_branch1_bn_s"].astype(np.float32),
+            "bias": blobs[f"{prefix}_branch1_bn_b"].astype(np.float32),
+        }
+    return p
+
+
+def _import_stage(blobs, stage_idx, n_blocks):
+    out = {}
+    for bi, name in enumerate(_block_names(n_blocks)):
+        out[name] = _import_bottleneck(
+            blobs, f"res{stage_idx}_{bi}", has_proj=(bi == 0)
+        )
+    return out
+
+
+def import_detectron_pkl(path: str, n_fg_class: int = 80,
+                         n_layers: int = 50) -> Dict:
+    """Load a Detectron pkl and return the full param tree."""
+    with open(path, "rb") as f:
+        data = pickle.load(f, encoding="latin1")
+    blobs = data.get("blobs", data)
+
+    blocks = RESNET_N_BLOCKS[n_layers]
+    n_class = n_fg_class + 1
+
+    conv1 = _conv(blobs["conv1_w"])  # (7, 7, 3, 64), BGR input order
+    conv1 = conv1[:, :, ::-1, :].copy()  # BGR -> RGB
+
+    extractor = {
+        "conv1": {"W": conv1},
+        "bn1": {
+            "scale": blobs["res_conv1_bn_s"].astype(np.float32),
+            "bias": blobs["res_conv1_bn_b"].astype(np.float32),
+        },
+        "res2": _import_stage(blobs, 2, blocks[0]),
+        "res3": _import_stage(blobs, 3, blocks[1]),
+        "res4": _import_stage(blobs, 4, blocks[2]),
+    }
+
+    # RPN: single-logit-per-anchor sigmoid head, matching ours.
+    n_anchor = blobs["rpn_cls_logits_w"].shape[0]
+    loc_idx = _loc_channel_reorder(n_anchor)
+    rpn = {
+        "conv1": {
+            "W": _conv(blobs["conv_rpn_w"]),
+            "b": blobs["conv_rpn_b"].astype(np.float32),
+        },
+        "score": {
+            "W": _conv(blobs["rpn_cls_logits_w"]),
+            "b": blobs["rpn_cls_logits_b"].astype(np.float32),
+        },
+        "loc": {
+            "W": _conv(blobs["rpn_bbox_pred_w"])[:, :, :, loc_idx],
+            "b": blobs["rpn_bbox_pred_b"].astype(np.float32)[loc_idx],
+        },
+    }
+
+    cls_idx = _loc_channel_reorder(n_class)
+    deconv_w = blobs["conv5_mask_w"]  # (2048, 256, 2, 2)
+    mask_w = blobs["mask_fcn_logits_w"]  # (n_fg+1, 256, 1, 1)
+    head = {
+        "res5": _import_stage(blobs, 5, blocks[3]),
+        "cls_loc": {
+            "W": np.ascontiguousarray(
+                blobs["bbox_pred_w"].T[:, cls_idx]
+            ).astype(np.float32),
+            "b": blobs["bbox_pred_b"].astype(np.float32)[cls_idx],
+        },
+        "score": {
+            "W": np.ascontiguousarray(blobs["cls_score_w"].T).astype(
+                np.float32
+            ),
+            "b": blobs["cls_score_b"].astype(np.float32),
+        },
+        "deconv6": {
+            "W": np.ascontiguousarray(
+                np.transpose(deconv_w, (2, 3, 0, 1))
+            ).astype(np.float32),
+            "b": blobs["conv5_mask_b"].astype(np.float32),
+        },
+        "mask": {
+            # drop the background channel (converter :247-249)
+            "W": _conv(mask_w[1:]),
+            "b": blobs["mask_fcn_logits_b"].astype(np.float32)[1:],
+        },
+    }
+    return {"extractor": extractor, "rpn": rpn, "head": head}
+
+
+def import_chainer_npz(path: str, n_layers: int = 50) -> Dict:
+    """Reference snapshot_model.npz -> our param tree (layout changes only).
+
+    chainer layouts: conv W (O, I, kH, kW); Linear W (out, in); Deconv W
+    (I, O, kH, kW); AffineChannel W/b -> scale/bias.
+    """
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+
+    def conv(k):
+        return np.ascontiguousarray(
+            np.transpose(flat[k], (2, 3, 1, 0))
+        ).astype(np.float32)
+
+    def affine(prefix):
+        return {
+            "scale": flat[f"{prefix}/W"].astype(np.float32),
+            "bias": flat[f"{prefix}/b"].astype(np.float32),
+        }
+
+    def bottleneck(prefix, has_proj):
+        p = {}
+        for i in (1, 2, 3):
+            p[f"conv{i}"] = {"W": conv(f"{prefix}/conv{i}/W")}
+            p[f"bn{i}"] = affine(f"{prefix}/bn{i}")
+        if has_proj:
+            p["conv4"] = {"W": conv(f"{prefix}/conv4/W")}
+            p["bn4"] = affine(f"{prefix}/bn4")
+        return p
+
+    def stage(prefix, n_blocks):
+        return {
+            name: bottleneck(f"{prefix}/{name}", name == "a")
+            for name in _block_names(n_blocks)
+        }
+
+    blocks = RESNET_N_BLOCKS[n_layers]
+    extractor = {
+        "conv1": {"W": conv("extractor/conv1/W")},
+        "bn1": affine("extractor/bn1"),
+        "res2": stage("extractor/res2", blocks[0]),
+        "res3": stage("extractor/res3", blocks[1]),
+        "res4": stage("extractor/res4", blocks[2]),
+    }
+    rpn = {
+        "conv1": {
+            "W": conv("rpn/conv1/W"),
+            "b": flat["rpn/conv1/b"].astype(np.float32),
+        },
+        "score": {
+            "W": conv("rpn/score/W"),
+            "b": flat["rpn/score/b"].astype(np.float32),
+        },
+        "loc": {
+            "W": conv("rpn/loc/W"),
+            "b": flat["rpn/loc/b"].astype(np.float32),
+        },
+    }
+    head = {
+        "res5": stage("head/res5", blocks[3]),
+        "cls_loc": {
+            "W": np.ascontiguousarray(flat["head/cls_loc/W"].T).astype(
+                np.float32
+            ),
+            "b": flat["head/cls_loc/b"].astype(np.float32),
+        },
+        "score": {
+            "W": np.ascontiguousarray(flat["head/score/W"].T).astype(
+                np.float32
+            ),
+            "b": flat["head/score/b"].astype(np.float32),
+        },
+        "deconv6": {
+            "W": np.ascontiguousarray(
+                np.transpose(flat["head/deconv6/W"], (2, 3, 0, 1))
+            ).astype(np.float32),
+            "b": flat["head/deconv6/b"].astype(np.float32),
+        },
+        "mask": {
+            "W": conv("head/mask/W"),
+            "b": flat["head/mask/b"].astype(np.float32),
+        },
+    }
+    return {"extractor": extractor, "rpn": rpn, "head": head}

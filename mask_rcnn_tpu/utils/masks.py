@@ -1,0 +1,70 @@
+"""Host-side mask pasting (Detectron ``segm_results`` parity).
+
+Replicates reference models/mask_rcnn.py:44-107 (expand_boxes/segm_results):
+the 14x14 roi mask is zero-padded to 16x16, the box expanded by (M+2)/M,
+cv2-resized to the integer box size, thresholded at 0.5 and pasted into the
+full-image mask with clipping. Kept on host (numpy + cv2) because exact cv2
+bilinear parity here is what the COCO mAP comparison hinges on.
+"""
+
+from __future__ import annotations
+
+import cv2
+import numpy as np
+
+
+def expand_boxes(boxes: np.ndarray, scale: float) -> np.ndarray:
+    """Scale (x1, y1, x2, y2) boxes about their centers."""
+    w_half = (boxes[:, 2] - boxes[:, 0]) * 0.5 * scale
+    h_half = (boxes[:, 3] - boxes[:, 1]) * 0.5 * scale
+    x_c = (boxes[:, 2] + boxes[:, 0]) * 0.5
+    y_c = (boxes[:, 3] + boxes[:, 1]) * 0.5
+    out = np.zeros(boxes.shape)
+    out[:, 0] = x_c - w_half
+    out[:, 2] = x_c + w_half
+    out[:, 1] = y_c - h_half
+    out[:, 3] = y_c + h_half
+    return out
+
+
+def paste_masks(
+    bbox: np.ndarray, mask_probs: np.ndarray, im_h: int, im_w: int
+) -> np.ndarray:
+    """Paste per-detection (M, M) mask probabilities into full-image masks.
+
+    Args:
+        bbox: (R, 4) detection boxes, (y1, x1, y2, x2), image coords.
+        mask_probs: (R, M, M) sigmoid probabilities for the detected class.
+        im_h, im_w: original image size.
+
+    Returns:
+        (R, im_h, im_w) bool masks.
+    """
+    r = len(bbox)
+    if r == 0:
+        return np.zeros((0, im_h, im_w), dtype=bool)
+    m = mask_probs.shape[1]
+    ref_boxes = bbox[:, [1, 0, 3, 2]]  # -> x1, y1, x2, y2
+    ref_boxes = expand_boxes(ref_boxes, (m + 2.0) / m)
+    ref_boxes = ref_boxes.astype(np.int32)
+    padded = np.zeros((m + 2, m + 2), dtype=np.float32)
+
+    out = np.zeros((r, im_h, im_w), dtype=bool)
+    for i in range(r):
+        padded[1:-1, 1:-1] = mask_probs[i]
+        ref = ref_boxes[i]
+        w = max(ref[2] - ref[0] + 1, 1)
+        h = max(ref[3] - ref[1] + 1, 1)
+        resized = cv2.resize(padded, (w, h))
+        binarized = resized > 0.5
+
+        x_0 = max(ref[0], 0)
+        x_1 = min(ref[2] + 1, im_w)
+        y_0 = max(ref[1], 0)
+        y_1 = min(ref[3] + 1, im_h)
+        if x_1 <= x_0 or y_1 <= y_0:
+            continue
+        out[i, y_0:y_1, x_0:x_1] = binarized[
+            (y_0 - ref[1]):(y_1 - ref[1]), (x_0 - ref[0]):(x_1 - ref[0])
+        ]
+    return out

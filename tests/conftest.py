@@ -1,15 +1,22 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
 Mirrors the driver's multi-chip dry-run environment so sharding tests work
-without TPU hardware. Must run before jax is imported anywhere.
+without TPU hardware. Must run before jax initializes a backend.
+
+Note: in this environment the axon TPU plugin overrides the JAX_PLATFORMS
+env var, so the platform must be forced through jax.config instead.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,81 @@
+import numpy as np
+
+from mask_rcnn_tpu.data.loader import bucket_shape, pad_batch
+from mask_rcnn_tpu.data.transforms import MaskRCNNTransform, compute_scale
+from mask_rcnn_tpu.utils.geometry import (
+    instance_boxes2label,
+    label2instance_boxes,
+    mask_to_bbox,
+)
+
+
+def make_example(h=100, w=150, r=3, seed=0):
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
+    bboxes, masks, labels = [], [], []
+    for i in range(r):
+        y1, x1 = rng.randint(0, h - 30), rng.randint(0, w - 30)
+        y2, x2 = y1 + rng.randint(10, 30), x1 + rng.randint(10, 30)
+        m = np.zeros((h, w), np.int32)
+        m[y1:y2, x1:x2] = 1
+        masks.append(m)
+        bboxes.append([y1, x1, y2, x2])
+        labels.append(i % 2)
+    return (
+        img,
+        np.asarray(bboxes, np.float32),
+        np.asarray(labels, np.int32),
+        np.asarray(masks, np.int32),
+    )
+
+
+def test_compute_scale_caps():
+    # min side to 600 unless the max side would exceed 1000
+    assert compute_scale(300, 400, 600, 1000) == 2.0
+    assert compute_scale(300, 900, 600, 1000) == 1000 / 900
+
+
+def test_transform_resizes_consistently():
+    t = MaskRCNNTransform(60, 100, (0, 0, 0), train=True,
+                          rng=np.random.RandomState(0))
+    img, bboxes, labels, masks, scale = t(make_example())
+    assert img.dtype == np.float32
+    assert min(img.shape[:2]) in range(58, 63) or max(
+        img.shape[:2]
+    ) in range(98, 101)
+    # boxes track the mask extents after resize/flip
+    for b, m in zip(bboxes, masks):
+        mb = mask_to_bbox(m > 0)
+        np.testing.assert_allclose(b, mb, atol=2.0)
+
+
+def test_pad_batch_shapes_and_masks():
+    t = MaskRCNNTransform(60, 100, (0, 0, 0), train=True,
+                          rng=np.random.RandomState(1))
+    examples = [t(make_example(seed=s)) for s in range(2)]
+    batch = pad_batch(examples, max_boxes=5, min_size=60, max_size=100)
+    n, hp, wp, _ = batch["image"].shape
+    assert n == 2 and hp % 64 == 0 and wp % 64 == 0
+    assert batch["bbox"].shape == (2, 5, 4)
+    assert batch["mask"].shape == (2, 5, hp, wp)
+    assert batch["bbox_valid"].sum() == 6  # 3 real boxes per example
+    # padding slots are zero
+    assert batch["mask"][0, 3:].sum() == 0
+
+
+def test_bucket_shape_orientation():
+    assert bucket_shape(600, 900, 600, 1000) == (640, 1024)
+    assert bucket_shape(900, 600, 600, 1000) == (1024, 640)
+    # oversize falls back to rounding up
+    assert bucket_shape(1100, 500, 600, 1000) == (1152, 640)
+
+
+def test_label_instance_roundtrip():
+    img, bboxes, labels, masks = make_example(r=2, seed=3)
+    # build label images, then decompose back
+    lbl_cls, lbl_ins = instance_boxes2label(
+        labels + 1, bboxes, masks.astype(bool)
+    )
+    labels2, bboxes2, masks2 = label2instance_boxes(lbl_ins, lbl_cls)
+    assert len(labels2) == len(labels)
+    assert set(labels2) <= set(labels + 1)

@@ -1,0 +1,116 @@
+import numpy as np
+
+from mask_rcnn_tpu.utils.cocoeval import COCOEvaluation, eval_instseg_coco
+from mask_rcnn_tpu.utils.voc_eval import eval_instseg_voc
+
+
+def box_mask(h, w, y1, x1, y2, x2):
+    m = np.zeros((h, w), bool)
+    m[y1:y2, x1:x2] = True
+    return m
+
+
+def test_coco_perfect_predictions():
+    gt_masks = [np.stack([box_mask(64, 64, 5, 5, 60, 40),
+                          box_mask(64, 64, 10, 45, 30, 60)])]
+    gt_labels = [np.array([0, 1])]
+    res = eval_instseg_coco(
+        [gt_masks[0].copy()], gt_labels, [np.array([0.9, 0.8])],
+        gt_masks, gt_labels,
+    )
+    assert res["map/iou=0.50:0.95/area=all/maxDets=100"] == 1.0
+    assert res["map/iou=0.50/area=all/maxDets=100"] == 1.0
+    assert res["mar/iou=0.50:0.95/area=all/maxDets=100"] == 1.0
+
+
+def test_coco_false_positive_halves_ap():
+    """One gt; pred = [match@high score is wrong order...] two preds: a
+    perfect one at lower score and a spurious one at higher score ->
+    precision at recall 1 is 0.5, AP(101pt) ~ 0.5."""
+    gt_m = [np.stack([box_mask(64, 64, 5, 5, 40, 40)])]
+    gt_l = [np.array([0])]
+    preds = np.stack([
+        box_mask(64, 64, 50, 50, 60, 60),  # spurious, no overlap
+        box_mask(64, 64, 5, 5, 40, 40),  # perfect
+    ])
+    res = eval_instseg_coco(
+        [preds], [np.array([0, 0])], [np.array([0.9, 0.5])], gt_m, gt_l
+    )
+    got = res["map/iou=0.50:0.95/area=all/maxDets=100"]
+    # recall hits 1.0 with precision 1/2; pycocotools 101-pt AP = 0.5
+    np.testing.assert_allclose(got, 0.5, atol=0.01)
+
+
+def test_coco_missed_gt_lowers_recall():
+    gt_m = [np.stack([box_mask(64, 64, 5, 5, 40, 40),
+                      box_mask(64, 64, 45, 45, 63, 63)])]
+    gt_l = [np.array([0, 0])]
+    preds = gt_m[0][:1]
+    res = eval_instseg_coco(
+        [preds], [np.array([0])], [np.array([0.9])], gt_m, gt_l
+    )
+    np.testing.assert_allclose(
+        res["mar/iou=0.50:0.95/area=all/maxDets=100"], 0.5, atol=0.01
+    )
+    np.testing.assert_allclose(
+        res["map/iou=0.50:0.95/area=all/maxDets=100"], 0.5, atol=0.02
+    )
+
+
+def test_coco_crowd_not_counted_as_fp():
+    """A det matching only a crowd gt is ignored (neither TP nor FP)."""
+    crowd = box_mask(64, 64, 0, 0, 64, 32)
+    real = box_mask(64, 64, 10, 40, 30, 60)
+    gt_m = [np.stack([real, crowd])]
+    gt_l = [np.array([0, 0])]
+    preds = np.stack([real, box_mask(64, 64, 2, 2, 60, 30)])
+    res = eval_instseg_coco(
+        [preds], [np.array([0, 0])], [np.array([0.8, 0.9])],
+        gt_m, gt_l, gt_crowds=[np.array([False, True])],
+    )
+    # the crowd-matching det is ignored; the real det is a perfect match
+    assert res["map/iou=0.50:0.95/area=all/maxDets=100"] == 1.0
+
+
+def test_coco_per_class_arrays():
+    gt_m = [np.stack([box_mask(32, 32, 2, 2, 30, 16),
+                      box_mask(32, 32, 2, 18, 30, 30)])]
+    gt_l = [np.array([3, 7])]
+    res = eval_instseg_coco(
+        [gt_m[0].copy()], gt_l, [np.array([0.9, 0.9])], gt_m, gt_l
+    )
+    assert res["class_ids"] == [3, 7]
+    ap = res["ap/iou=0.50:0.95/area=all/maxDets=100"]
+    assert ap.shape == (2,)
+    np.testing.assert_allclose(ap, [1.0, 1.0])
+
+
+def test_voc_eval_perfect_and_degraded():
+    gt_masks = [
+        [box_mask(48, 48, 4, 4, 40, 24), box_mask(48, 48, 8, 28, 40, 44)]
+    ]
+    gt_labels = [np.array([0, 1])]
+    res = eval_instseg_voc(
+        [gt_masks[0]], gt_labels, [np.array([0.9, 0.8])],
+        gt_masks, gt_labels,
+    )
+    np.testing.assert_allclose(res["map"], 1.0)
+
+    # shift one prediction to miss -> its class AP drops to 0
+    bad = [box_mask(48, 48, 4, 4, 40, 24), box_mask(48, 48, 0, 0, 6, 6)]
+    res2 = eval_instseg_voc(
+        [bad], gt_labels, [np.array([0.9, 0.8])], gt_masks, gt_labels
+    )
+    np.testing.assert_allclose(res2["ap"][0], 1.0)
+    np.testing.assert_allclose(res2["ap"][1], 0.0)
+
+
+def test_coco_bbox_mode():
+    ev = COCOEvaluation("bbox")
+    gt_b = np.array([[5.0, 5.0, 40.0, 40.0]], np.float64)
+    ev.add(
+        None, np.array([0]), np.array([0.9]), None, np.array([0]),
+        pred_bboxes=gt_b.copy(), gt_bboxes=gt_b,
+    )
+    res = ev.results()
+    assert res["map/iou=0.50:0.95/area=all/maxDets=100"] == 1.0

@@ -1,0 +1,180 @@
+import pickle
+
+import jax
+import numpy as np
+import pytest
+
+from mask_rcnn_tpu.models import MaskRCNNConfig, init_params
+from mask_rcnn_tpu.models.resnet import RESNET_N_BLOCKS
+from mask_rcnn_tpu.utils.checkpoint import (
+    flatten_params,
+    load_params,
+    save_params,
+)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = MaskRCNNConfig(n_fg_class=2, anchor_scales=(8.0,))
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "snap.npz")
+    save_params(path, params)
+    loaded = load_params(path, like=params)
+    for k, v in flatten_params(params).items():
+        np.testing.assert_array_equal(flatten_params(loaded)[k], v)
+
+
+def test_checkpoint_mismatch_raises(tmp_path):
+    cfg = MaskRCNNConfig(n_fg_class=2, anchor_scales=(8.0,))
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "snap.npz")
+    save_params(path, params)
+    other = init_params(
+        jax.random.PRNGKey(0),
+        MaskRCNNConfig(n_fg_class=5, anchor_scales=(8.0,)),
+    )
+    with pytest.raises(ValueError):
+        load_params(path, like=other)
+
+
+def _fake_detectron_blobs(n_fg=3, n_anchor=2):
+    """Synthetic caffe2 blob dict with the R-50-C4 schema."""
+    rng = np.random.RandomState(0)
+    blobs = {}
+
+    def conv(name, o, i, k):
+        blobs[name + "_w"] = rng.randn(o, i, k, k).astype(np.float32)
+
+    def bn(name, c):
+        blobs[name + "_bn_s"] = rng.rand(c).astype(np.float32)
+        blobs[name + "_bn_b"] = rng.randn(c).astype(np.float32)
+
+    conv("conv1", 64, 3, 7)
+    bn("res_conv1", 64)
+    chans = {2: (64, 64, 256), 3: (256, 128, 512), 4: (512, 256, 1024),
+             5: (1024, 512, 2048)}
+    blocks = {2: 3, 3: 4, 4: 6, 5: 3}
+    for s, nb in blocks.items():
+        cin, mid, cout = chans[s]
+        for b in range(nb):
+            pre = f"res{s}_{b}"
+            icin = cin if b == 0 else cout
+            conv(pre + "_branch2a", mid, icin, 1)
+            bn(pre + "_branch2a", mid)
+            conv(pre + "_branch2b", mid, mid, 3)
+            bn(pre + "_branch2b", mid)
+            conv(pre + "_branch2c", cout, mid, 1)
+            bn(pre + "_branch2c", cout)
+            if b == 0:
+                conv(pre + "_branch1", cout, icin, 1)
+                bn(pre + "_branch1", cout)
+    conv("conv_rpn", 1024, 1024, 3)
+    blobs["conv_rpn_b"] = rng.randn(1024).astype(np.float32)
+    conv("rpn_cls_logits", n_anchor, 1024, 1)
+    blobs["rpn_cls_logits_b"] = rng.randn(n_anchor).astype(np.float32)
+    conv("rpn_bbox_pred", n_anchor * 4, 1024, 1)
+    blobs["rpn_bbox_pred_b"] = rng.randn(n_anchor * 4).astype(np.float32)
+    n_class = n_fg + 1
+    blobs["bbox_pred_w"] = rng.randn(n_class * 4, 2048).astype(np.float32)
+    blobs["bbox_pred_b"] = rng.randn(n_class * 4).astype(np.float32)
+    blobs["cls_score_w"] = rng.randn(n_class, 2048).astype(np.float32)
+    blobs["cls_score_b"] = rng.randn(n_class).astype(np.float32)
+    blobs["conv5_mask_w"] = rng.randn(2048, 256, 2, 2).astype(np.float32)
+    blobs["conv5_mask_b"] = rng.randn(256).astype(np.float32)
+    blobs["mask_fcn_logits_w"] = rng.randn(n_class, 256, 1, 1).astype(
+        np.float32
+    )
+    blobs["mask_fcn_logits_b"] = rng.randn(n_class).astype(np.float32)
+    return blobs
+
+
+def test_detectron_import_schema(tmp_path):
+    from mask_rcnn_tpu.utils.detectron_import import import_detectron_pkl
+
+    blobs = _fake_detectron_blobs(n_fg=3, n_anchor=2)
+    path = str(tmp_path / "model_final.pkl")
+    with open(path, "wb") as f:
+        pickle.dump({"blobs": blobs}, f)
+
+    params = import_detectron_pkl(path, n_fg_class=3)
+
+    # Tree matches the framework's init schema exactly.
+    cfg = MaskRCNNConfig(
+        n_fg_class=3, anchor_scales=(8.0,), ratios=(0.5, 1.0)
+    )
+    ref = init_params(jax.random.PRNGKey(0), cfg)
+    assert set(flatten_params(params)) == set(flatten_params(ref))
+    for k, v in flatten_params(params).items():
+        assert flatten_params(ref)[k].shape == v.shape, k
+
+    # BGR flip on conv1: imported channel 0 == blob channel 2
+    got = params["extractor"]["conv1"]["W"]  # HWIO
+    want = np.transpose(blobs["conv1_w"], (2, 3, 1, 0))[:, :, ::-1, :]
+    np.testing.assert_array_equal(got, want)
+
+    # loc reorder: (x,y,w,h) -> (y,x,h,w) per anchor group
+    got_b = params["rpn"]["loc"]["b"]
+    want_b = blobs["rpn_bbox_pred_b"].reshape(2, 4)[:, [1, 0, 3, 2]].ravel()
+    np.testing.assert_array_equal(got_b, want_b)
+
+    # mask background channel dropped
+    assert params["head"]["mask"]["W"].shape == (1, 1, 256, 3)
+    np.testing.assert_array_equal(
+        params["head"]["mask"]["b"], blobs["mask_fcn_logits_b"][1:]
+    )
+
+
+def test_chainer_import_roundtrip(tmp_path):
+    """Export our params in chainer layout, re-import, verify identity."""
+    from mask_rcnn_tpu.utils.detectron_import import import_chainer_npz
+
+    cfg = MaskRCNNConfig(n_fg_class=2, anchor_scales=(8.0,))
+    params = init_params(jax.random.PRNGKey(0), cfg)
+
+    flat = {}
+
+    def put_conv(key, w):  # ours HWIO -> chainer OIHW
+        flat[key + "/W"] = np.transpose(w, (3, 2, 0, 1))
+
+    def put_affine(key, p):
+        flat[key + "/W"] = np.asarray(p["scale"])
+        flat[key + "/b"] = np.asarray(p["bias"])
+
+    def put_block(prefix, bp, has_proj):
+        for i in (1, 2, 3):
+            put_conv(f"{prefix}/conv{i}", np.asarray(bp[f"conv{i}"]["W"]))
+            put_affine(f"{prefix}/bn{i}", bp[f"bn{i}"])
+        if has_proj:
+            put_conv(f"{prefix}/conv4", np.asarray(bp["conv4"]["W"]))
+            put_affine(f"{prefix}/bn4", bp["bn4"])
+
+    e = params["extractor"]
+    put_conv("extractor/conv1", np.asarray(e["conv1"]["W"]))
+    put_affine("extractor/bn1", e["bn1"])
+    blocks = RESNET_N_BLOCKS[50]
+    for si, stage in enumerate(["res2", "res3", "res4"]):
+        names = ["a"] + [f"b{i}" for i in range(1, blocks[si])]
+        for nm in names:
+            put_block(f"extractor/{stage}/{nm}", e[stage][nm], nm == "a")
+    for nm in ["a", "b1", "b2"]:
+        put_block(f"head/res5/{nm}", params["head"]["res5"][nm], nm == "a")
+    for lin in ["cls_loc", "score"]:
+        flat[f"head/{lin}/W"] = np.asarray(params["head"][lin]["W"]).T
+        flat[f"head/{lin}/b"] = np.asarray(params["head"][lin]["b"])
+    flat["head/deconv6/W"] = np.transpose(
+        np.asarray(params["head"]["deconv6"]["W"]), (2, 3, 0, 1)
+    )
+    flat["head/deconv6/b"] = np.asarray(params["head"]["deconv6"]["b"])
+    put_conv("head/mask", np.asarray(params["head"]["mask"]["W"]))
+    flat["head/mask/b"] = np.asarray(params["head"]["mask"]["b"])
+    for part in ["conv1", "score", "loc"]:
+        put_conv(f"rpn/{part}", np.asarray(params["rpn"][part]["W"]))
+        flat[f"rpn/{part}/b"] = np.asarray(params["rpn"][part]["b"])
+
+    path = str(tmp_path / "snapshot_model.npz")
+    np.savez(path, **flat)
+    loaded = import_chainer_npz(path)
+    got = flatten_params(loaded)
+    want = flatten_params(params)
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(got[k], np.asarray(want[k]), rtol=1e-6)

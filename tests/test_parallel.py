@@ -1,0 +1,105 @@
+import jax
+import numpy as np
+
+from mask_rcnn_tpu.engine import (
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+    trainable_mask,
+)
+from mask_rcnn_tpu.models import MaskRCNNConfig, ProposalConfig, init_params
+from mask_rcnn_tpu.models.targets import (
+    AnchorTargetConfig,
+    ProposalTargetConfig,
+)
+from mask_rcnn_tpu.parallel import (
+    make_mesh,
+    make_parallel_train_step,
+    replicated,
+    shard_batch,
+)
+
+
+def tiny_cfg():
+    return MaskRCNNConfig(
+        n_fg_class=2,
+        min_size=64,
+        max_size=64,
+        anchor_scales=(1.0, 2.0),
+        proposal=ProposalConfig(
+            n_train_pre_nms=64, n_train_post_nms=16,
+            n_test_pre_nms=64, n_test_post_nms=16,
+        ),
+    )
+
+
+def make_tiny_batch(n):
+    rng = np.random.RandomState(0)
+    return {
+        "image": rng.randn(n, 64, 64, 3).astype(np.float32),
+        "bbox": np.tile(
+            np.asarray([[[8.0, 8.0, 40.0, 44.0]]], np.float32), (n, 1, 1)
+        ),
+        "label": np.zeros((n, 1), np.int32),
+        "bbox_valid": np.ones((n, 1), bool),
+        "mask": np.ones((n, 1, 64, 64), np.uint8),
+        "scale": np.ones((n,), np.float32),
+    }
+
+
+def test_trainable_mask_rules():
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    mask = trainable_mask(params)
+    assert mask["extractor"]["conv1"]["W"] is False
+    assert mask["extractor"]["res2"]["a"]["conv1"]["W"] is False
+    assert mask["extractor"]["res3"]["a"]["conv1"]["W"] is True
+    assert mask["extractor"]["res3"]["a"]["bn1"]["scale"] is False
+    assert mask["head"]["res5"]["a"]["bn2"]["bias"] is False
+    assert mask["head"]["cls_loc"]["W"] is True
+    assert mask["rpn"]["conv1"]["b"] is True
+
+
+def test_parallel_train_step_8_devices():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 cpu devices"
+    mesh = make_mesh(jax.devices()[:8])
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    optimizer, _ = make_optimizer(params, base_lr=0.01, total_steps=10)
+    state = create_train_state(params, optimizer)
+    step_fn = make_train_step(
+        cfg,
+        optimizer,
+        proposal_cfg=ProposalTargetConfig(n_sample=8),
+        anchor_cfg=AnchorTargetConfig(n_sample=16),
+    )
+    p_step = make_parallel_train_step(step_fn, mesh)
+
+    batch = shard_batch(make_tiny_batch(8), mesh)
+    rep = replicated(mesh)
+    state = jax.device_put(state, rep)
+    rng = jax.device_put(jax.random.PRNGKey(1), rep)
+
+    old_rpn = np.asarray(params["rpn"]["conv1"]["W"])
+    old_conv1 = np.asarray(params["extractor"]["conv1"]["W"])
+    new_state, metrics = p_step(state, batch, rng)
+
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
+    new_params = jax.device_get(new_state.params)
+    # trainable params moved; frozen params identical
+    assert np.abs(new_params["rpn"]["conv1"]["W"] - old_rpn).max() > 0
+    np.testing.assert_array_equal(
+        new_params["extractor"]["conv1"]["W"], old_conv1
+    )
+    # result is replicated across all devices
+    assert len(new_state.params["rpn"]["conv1"]["W"].devices()) == 8
+
+
+def test_lr_schedule_steps():
+    from mask_rcnn_tpu.engine import step_lr_schedule
+
+    sched = step_lr_schedule(0.02, total_steps=180)
+    np.testing.assert_allclose(float(sched(0)), 0.02, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(121)), 0.002, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(161)), 0.0002, rtol=1e-6)
