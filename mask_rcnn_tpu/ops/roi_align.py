@@ -174,12 +174,28 @@ def roi_align(
         )
         ay = ay.astype(features.dtype)
         ax = ax.astype(features.dtype)
+        # The (chunk, P, spatial, C) intermediate dominates HBM traffic;
+        # contract the longer spatial axis away first so the intermediate
+        # keeps the shorter one (w-first keeps N*H; h-first keeps W).
+        if n * h <= w:
+            t = jnp.einsum(
+                "rqw,hwc->rqhc", ax, feats,
+                preferred_element_type=features.dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return jnp.einsum(
+                "rph,rqhc->rpqc", ay, t,
+                preferred_element_type=features.dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         t = jnp.einsum(
-            "rph,hwc->rpwc", ay, feats, preferred_element_type=features.dtype,
+            "rph,hwc->rpwc", ay, feats,
+            preferred_element_type=features.dtype,
             precision=jax.lax.Precision.HIGHEST,
         )
         return jnp.einsum(
-            "rqw,rpwc->rpqc", ax, t, preferred_element_type=features.dtype,
+            "rqw,rpwc->rpqc", ax, t,
+            preferred_element_type=features.dtype,
             precision=jax.lax.Precision.HIGHEST,
         )
 
