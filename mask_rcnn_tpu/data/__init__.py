@@ -7,3 +7,4 @@ from mask_rcnn_tpu.data.voc import (  # noqa: F401
     VOC2012InstanceSegmentationDataset,
     VOCLikeDataset,
 )
+from mask_rcnn_tpu.data.legacy import MaskRcnnDataset  # noqa: F401

@@ -55,6 +55,12 @@ class MaskRCNNConfig:
     score_thresh: float = 0.05
     detections_per_im: int = 100
     compute_dtype: str = "float32"
+    # Per-class candidate cap before NMS at decode time. Greedy NMS only
+    # depends on candidates above score_thresh; capping to the top-K scored
+    # boxes per class is exact unless more than K boxes of one class clear
+    # the 0.05 threshold (vanishingly rare; set 0 to disable for strict
+    # parity). Cuts the (Rp x Rp) per-class NMS work ~15x.
+    nms_topk_per_class: int = 256
 
     @property
     def n_class(self) -> int:
@@ -152,13 +158,29 @@ def _decode_single(cfg, roi, roi_valid, cls_loc, score, size, scale):
         axis=-1,
     )
 
-    def per_class(boxes_l, prob_l):
-        valid_l = roi_valid & (prob_l > cfg.score_thresh)
-        idx, mask = nms_padded(boxes_l, prob_l, cfg.nms_thresh, d,
-                               valid=valid_l)
-        b = jnp.take(boxes_l, jnp.maximum(idx, 0), axis=0)
-        s = jnp.take(prob_l, jnp.maximum(idx, 0))
-        return b, s, mask
+    k = cfg.nms_topk_per_class
+    if k and k < rp:
+        def per_class(boxes_l, prob_l):
+            valid_l = roi_valid & (prob_l > cfg.score_thresh)
+            top_p, top_i = jax.lax.top_k(
+                jnp.where(valid_l, prob_l, -jnp.inf), k
+            )
+            top_b = jnp.take(boxes_l, top_i, axis=0)
+            idx, mask = nms_padded(
+                top_b, top_p, cfg.nms_thresh, d,
+                valid=jnp.isfinite(top_p),
+            )
+            b = jnp.take(top_b, jnp.maximum(idx, 0), axis=0)
+            s = jnp.take(top_p, jnp.maximum(idx, 0))
+            return b, jnp.where(mask, s, 0.0), mask
+    else:
+        def per_class(boxes_l, prob_l):
+            valid_l = roi_valid & (prob_l > cfg.score_thresh)
+            idx, mask = nms_padded(boxes_l, prob_l, cfg.nms_thresh, d,
+                                   valid=valid_l)
+            b = jnp.take(boxes_l, jnp.maximum(idx, 0), axis=0)
+            s = jnp.take(prob_l, jnp.maximum(idx, 0))
+            return b, s, mask
 
     # classes 1..n_class-1 (skip background)
     fg_boxes = jnp.swapaxes(cls_bbox[:, 1:, :], 0, 1)  # (n_fg, Rp, 4)
