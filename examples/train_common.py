@@ -56,6 +56,18 @@ def parse_args(dataset_defaults: dict):
         "--multi-node", action="store_true",
         help="initialize jax.distributed for multi-host training",
     )
+    parser.add_argument(
+        "--resume", default=None,
+        help="train_state checkpoint dir to resume from",
+    )
+    parser.add_argument(
+        "--checkpoint-interval", type=int, default=None,
+        help="save full train_state every N steps (enables --resume)",
+    )
+    parser.add_argument(
+        "--clip-norm", type=float, default=None,
+        help="global gradient-norm clip (off = reference parity)",
+    )
     return parser.parse_args()
 
 
@@ -123,6 +135,9 @@ def train(args, train_data, test_data, class_names, dataset_kind,
         eval_interval_epochs=args.eval_interval_epochs,
         seed=args.seed,
         lr=args.lr,
+        resume_from=args.resume,
+        checkpoint_interval_steps=args.checkpoint_interval,
+        clip_norm=args.clip_norm,
         extra_params={
             "dataset": dataset_kind,
             "model": args.model,

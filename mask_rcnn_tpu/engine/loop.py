@@ -61,6 +61,9 @@ def train(
     seed: int = 0,
     lr: Optional[float] = None,
     extra_params: Optional[Dict] = None,
+    resume_from: Optional[str] = None,
+    checkpoint_interval_steps: Optional[int] = None,
+    clip_norm: Optional[float] = None,
 ) -> Dict:
     """Run the full training schedule; returns the final report."""
     mesh = make_mesh()
@@ -72,8 +75,14 @@ def train(
     total_steps = int(max_epoch * steps_per_epoch)
 
     params = init_params(jax.random.PRNGKey(seed), cfg)
-    optimizer, schedule = make_optimizer(params, base_lr, total_steps)
+    optimizer, schedule = make_optimizer(params, base_lr, total_steps,
+                                         clip_norm=clip_norm)
     state = create_train_state(params, optimizer)
+    if resume_from:
+        from mask_rcnn_tpu.utils.checkpoint import restore_train_state
+
+        state = restore_train_state(resume_from, state)
+        print(f"resumed from {resume_from} at step {int(state.step)}")
     step_fn = make_train_step(cfg, optimizer)
     p_step = make_parallel_train_step(step_fn, mesh)
 
@@ -96,7 +105,7 @@ def train(
         )
 
     best_map = -1.0
-    it = 0
+    it = int(jax.device_get(state.step))
     t_start = time.time()
     running: Dict[str, float] = {}
     epoch = 0
@@ -137,6 +146,18 @@ def train(
                         for k, v in entry.items()
                         if k.startswith("main/")
                     )
+                )
+
+            if (
+                checkpoint_interval_steps
+                and it % checkpoint_interval_steps == 0
+                and process_zero()
+            ):
+                from mask_rcnn_tpu.utils.checkpoint import save_train_state
+
+                save_train_state(
+                    osp.join(out_dir, "train_state"),
+                    jax.device_get(state),
                 )
 
             if evaluator is not None and it % eval_every == 0:

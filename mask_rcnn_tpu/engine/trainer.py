@@ -68,15 +68,22 @@ def make_optimizer(
     momentum: float = 0.9,
     weight_decay: float = 1e-4,
     milestones=(120 / 180, 160 / 180),
+    clip_norm: float | None = None,
 ):
     mask = trainable_mask(params)
     not_mask = jax.tree.map(lambda m: not m, mask)
     schedule = step_lr_schedule(base_lr, total_steps, milestones)
-    inner = optax.chain(
+    steps = []
+    if clip_norm:
+        # Not in the reference recipe (kept off by default for parity);
+        # useful for from-scratch training without pretrained stats.
+        steps.append(optax.clip_by_global_norm(clip_norm))
+    steps += [
         optax.add_decayed_weights(weight_decay),
         optax.scale_by_schedule(lambda step: -schedule(step)),
         optax.trace(decay=momentum),
-    )
+    ]
+    inner = optax.chain(*steps)
     # masked() leaves unmasked updates untouched, so explicitly zero the
     # frozen ones (their raw grads would leak through otherwise).
     tx = optax.chain(

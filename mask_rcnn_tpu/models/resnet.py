@@ -128,14 +128,24 @@ def _conv_init(key, kh, kw, cin, cout, mode="he_normal"):
     return jax.random.normal(key, (kh, kw, cin, cout), jnp.float32) * std
 
 
-def _affine_init(c):
+def _affine_init(c, scale=1.0):
     return {
-        "scale": jnp.ones((c,), jnp.float32),
+        "scale": jnp.full((c,), scale, jnp.float32),
         "bias": jnp.zeros((c,), jnp.float32),
     }
 
 
-def init_bottleneck(key, cin, mid, cout, projection, mode="he_normal"):
+# From-scratch init attenuates each residual branch through its last affine.
+# Real BatchNorm would renormalize activations during training; the folded
+# affines here are identity (and frozen), so without attenuation a deep
+# he_normal stack blows activations up exponentially (observed: init
+# roi_cls_loss ~150 instead of ~ln n_class). Pretrained-weight loading
+# overwrites these values, so parity paths are unaffected.
+RESIDUAL_AFFINE_SCALE = 0.1
+
+
+def init_bottleneck(key, cin, mid, cout, projection, mode="he_normal",
+                    residual_scale=RESIDUAL_AFFINE_SCALE):
     ks = jax.random.split(key, 4)
     p = {
         "conv1": {"W": _conv_init(ks[0], 1, 1, cin, mid, mode)},
@@ -143,11 +153,11 @@ def init_bottleneck(key, cin, mid, cout, projection, mode="he_normal"):
         "conv2": {"W": _conv_init(ks[1], 3, 3, mid, mid, mode)},
         "bn2": _affine_init(mid),
         "conv3": {"W": _conv_init(ks[2], 1, 1, mid, cout, mode)},
-        "bn3": _affine_init(cout),
+        "bn3": _affine_init(cout, residual_scale),
     }
     if projection:
         p["conv4"] = {"W": _conv_init(ks[3], 1, 1, cin, cout, mode)}
-        p["bn4"] = _affine_init(cout)
+        p["bn4"] = _affine_init(cout, residual_scale)
     return p
 
 
@@ -165,7 +175,7 @@ def init_extractor(key, n_layers=50, mode="he_normal"):
     ks = jax.random.split(key, 4)
     params = {
         "conv1": {"W": _conv_init(ks[0], 7, 7, 3, 64, mode)},
-        "bn1": _affine_init(64),
+        "bn1": _affine_init(64, 0.5),
     }
     for i, stage in enumerate(["res2", "res3", "res4"]):
         params[stage] = init_building_block(ks[i + 1], stage, blocks[i], mode)

@@ -59,6 +59,16 @@ def train_loss(
     n = images.shape[0]
     img_size = images.shape[1:3]
 
+    masks = batch["mask"]
+    if masks.shape[-1] * 8 == img_size[1]:
+        # bit-packed along W by the loader (data/loader.py pack_mask_bits):
+        # unpack on device — 8x less H2D traffic for the biggest batch field.
+        shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+        masks = (
+            (masks[..., None] >> shifts) & jnp.uint8(1)
+        ).reshape(masks.shape[:-1] + (img_size[1],))
+    batch = dict(batch, mask=masks)
+
     from mask_rcnn_tpu.models.mask_rcnn import cast_params
 
     params = cast_params(params, cfg.compute_dtype)

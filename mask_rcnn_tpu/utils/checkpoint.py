@@ -42,6 +42,38 @@ def save_params(path: str, params) -> None:
     np.savez(path, **flatten_params(params))
 
 
+def save_train_state(directory: str, state) -> None:
+    """Full training-state checkpoint (params + optimizer + step) for
+    resume — a capability the reference lacks entirely (SURVEY.md §5:
+    'no optimizer/trainer-state snapshot and no resume path')."""
+    import os.path as osp
+
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(
+            osp.abspath(directory), jax.tree.map(np.asarray, state),
+            force=True,
+        )
+
+
+def restore_train_state(directory: str, like):
+    """Restore a TrainState saved by save_train_state; ``like`` provides
+    the tree structure/dtypes."""
+    import os.path as osp
+
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(
+            osp.abspath(directory),
+            item=jax.tree.map(np.asarray, like),
+        )
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(like), jax.tree.leaves(restored)
+    )
+
+
 def load_params(path: str, like=None):
     """Load params from npz. If ``like`` is given, validate that the loaded
     tree has exactly the same paths/shapes and cast to its dtypes."""

@@ -1,0 +1,61 @@
+"""Profiling / tracing helpers.
+
+The reference has no performance tooling beyond a wall-clock speedtest
+(SURVEY.md §5). Here: a context manager around ``jax.profiler`` producing
+TensorBoard-loadable traces, a robust wall-clock timer that forces a real
+device sync (the dev TPU sits behind a network tunnel where
+``block_until_ready`` does not reliably block), and a simple per-stage
+timing table.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Dict, List, Tuple
+
+import jax
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """Capture a device trace viewable in TensorBoard / Perfetto."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def sync(tree) -> None:
+    """Force completion by fetching one scalar from the first leaf."""
+    leaf = jax.tree.leaves(tree)[0]
+    np.asarray(jax.numpy.ravel(leaf)[0])
+
+
+def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 2) -> float:
+    """Milliseconds per call, amortized over ``iters`` with one end sync."""
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    sync(out)
+    return (time.perf_counter() - t0) / iters * 1000.0
+
+
+def profile_stages(stages: List[Tuple[str, Callable, tuple]],
+                   iters: int = 10) -> Dict[str, float]:
+    """Time named (fn, args) stages; returns {name: ms}."""
+    report = {}
+    for name, fn, args in stages:
+        report[name] = time_fn(fn, *args, iters=iters)
+    total = sum(report.values())
+    width = max(len(k) for k in report)
+    for k, v in report.items():
+        print(f"{k:<{width}} {v:8.2f} ms  {100 * v / total:5.1f}%")
+    print(f"{'total':<{width}} {total:8.2f} ms")
+    return report

@@ -57,10 +57,18 @@ def test_pad_batch_shapes_and_masks():
     n, hp, wp, _ = batch["image"].shape
     assert n == 2 and hp % 64 == 0 and wp % 64 == 0
     assert batch["bbox"].shape == (2, 5, 4)
-    assert batch["mask"].shape == (2, 5, hp, wp)
+    # masks are bit-packed along W by default
+    assert batch["mask"].shape == (2, 5, hp, wp // 8)
     assert batch["bbox_valid"].sum() == 6  # 3 real boxes per example
     # padding slots are zero
     assert batch["mask"][0, 3:].sum() == 0
+
+    raw = pad_batch(examples, max_boxes=5, min_size=60, max_size=100,
+                    pack_masks=False)
+    assert raw["mask"].shape == (2, 5, hp, wp)
+    np.testing.assert_array_equal(
+        np.unpackbits(batch["mask"], axis=-1), raw["mask"]
+    )
 
 
 def test_bucket_shape_orientation():
