@@ -1,0 +1,120 @@
+// Native host-side evaluation kernels.
+//
+// The reference leans on pycocotools' C extension for exactly these loops
+// (mask IoU + greedy matching, SURVEY.md §2.8); since pycocotools is not a
+// dependency of this framework, the hot loops live here. Compiled on demand
+// by mask_rcnn_tpu/utils/native.py (g++ -O3 -shared), bound via ctypes.
+//
+// All functions use a plain C ABI with caller-allocated outputs.
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// Greedy COCO matching for one (image, category, area-range) cell.
+//
+// ious:        (D, G) row-major, dets sorted by descending score, gts sorted
+//              ignored-last.
+// gt_ignore:   (G,) 0/1 after area-range marking.
+// det_ignore:  (D,) 0/1 det-outside-area-range flags.
+// thresholds:  (T,) IoU thresholds.
+// dtm (T, D):  matched gt index or -1 (output).
+// dt_ig (T, D): det-ignored flags (output).
+void coco_match_image(const double* ious, const uint8_t* gt_ignore,
+                      const uint8_t* det_ignore, const double* thresholds,
+                      int64_t d, int64_t g, int64_t t,
+                      int64_t* dtm, uint8_t* dt_ig) {
+  // gtm scratch per threshold
+  for (int64_t ti = 0; ti < t; ++ti) {
+    int64_t* dtm_row = dtm + ti * d;
+    uint8_t* dt_ig_row = dt_ig + ti * d;
+    // -1 init
+    for (int64_t di = 0; di < d; ++di) dtm_row[di] = -1;
+    // gt matched flags
+    // (stack alloc would need VLA; use a small heap buffer)
+    int64_t* gtm = new int64_t[g];
+    for (int64_t gi = 0; gi < g; ++gi) gtm[gi] = -1;
+
+    const double thr = thresholds[ti];
+    for (int64_t di = 0; di < d; ++di) {
+      double best = thr < (1.0 - 1e-10) ? thr : (1.0 - 1e-10);
+      int64_t m = -1;
+      const double* iou_row = ious + di * g;
+      for (int64_t gi = 0; gi < g; ++gi) {
+        if (gtm[gi] >= 0 && !gt_ignore[gi]) continue;
+        // gts sorted ignored-last: stop once we have an unignored match and
+        // the remaining gts are ignored
+        if (m > -1 && !gt_ignore[m] && gt_ignore[gi]) break;
+        if (iou_row[gi] < best) continue;
+        best = iou_row[gi];
+        m = gi;
+      }
+      if (m == -1) continue;
+      dtm_row[di] = m;
+      dt_ig_row[di] = gt_ignore[m];
+      gtm[m] = di;
+    }
+    for (int64_t di = 0; di < d; ++di) {
+      if (dtm_row[di] < 0 && det_ignore[di]) dt_ig_row[di] = 1;
+    }
+    delete[] gtm;
+  }
+}
+
+// Pairwise mask IoU from bit-packed masks.
+//
+// det_bits: (D, NW) uint64 words; gt_bits: (G, NW); crowd: (G,) 0/1.
+// out: (D, G) doubles. Crowd gts use union = det area (COCO semantics).
+void mask_iou_packed(const uint64_t* det_bits, const uint64_t* gt_bits,
+                     const uint8_t* crowd, int64_t d, int64_t g, int64_t nw,
+                     double* out) {
+  int64_t* det_area = new int64_t[d];
+  for (int64_t i = 0; i < d; ++i) {
+    int64_t a = 0;
+    const uint64_t* row = det_bits + i * nw;
+    for (int64_t k = 0; k < nw; ++k) a += __builtin_popcountll(row[k]);
+    det_area[i] = a;
+  }
+  for (int64_t j = 0; j < g; ++j) {
+    const uint64_t* grow = gt_bits + j * nw;
+    int64_t ga = 0;
+    for (int64_t k = 0; k < nw; ++k) ga += __builtin_popcountll(grow[k]);
+    for (int64_t i = 0; i < d; ++i) {
+      const uint64_t* drow = det_bits + i * nw;
+      int64_t inter = 0;
+      for (int64_t k = 0; k < nw; ++k)
+        inter += __builtin_popcountll(drow[k] & grow[k]);
+      double uni = crowd[j] ? (double)det_area[i]
+                            : (double)(det_area[i] + ga - inter);
+      out[i * g + j] = uni > 0 ? (double)inter / uni : 0.0;
+    }
+  }
+  delete[] det_area;
+}
+
+// Column-major RLE encoding of a binary mask: returns number of runs
+// written into counts (alternating 0/1 runs starting with zeros).
+// mask: (H, W) row-major uint8; counts capacity must be >= H*W + 1.
+int64_t rle_encode(const uint8_t* mask, int64_t h, int64_t w,
+                   uint32_t* counts) {
+  int64_t n = 0;
+  uint8_t cur = 0;
+  uint32_t run = 0;
+  for (int64_t x = 0; x < w; ++x) {
+    for (int64_t y = 0; y < h; ++y) {
+      uint8_t v = mask[y * w + x] ? 1 : 0;
+      if (v == cur) {
+        ++run;
+      } else {
+        counts[n++] = run;
+        cur = v;
+        run = 1;
+      }
+    }
+  }
+  counts[n++] = run;
+  return n;
+}
+
+}  // extern "C"

@@ -45,6 +45,11 @@ def mask_iou_matrix(
     d, g = det_masks.shape[0], gt_masks.shape[0]
     if d == 0 or g == 0:
         return np.zeros((d, g), np.float64)
+    from mask_rcnn_tpu.utils import native
+
+    fast = native.mask_iou_packed(det_masks, gt_masks, gt_crowd)
+    if fast is not None:
+        return fast
     dp = _pack(det_masks.astype(bool))
     gp = _pack(gt_masks.astype(bool))
     d_area = _POPCOUNT[dp].sum(axis=1)
@@ -92,6 +97,14 @@ def _match_image(
 
     Returns (dtm (T, D) matched flag, dt_ig (T, D)).
     """
+    from mask_rcnn_tpu.utils import native
+
+    fast = native.coco_match_image(
+        ious, gt_ignore, det_ignore_area, iou_threshs
+    )
+    if fast is not None:
+        return fast
+
     t_n = len(iou_threshs)
     d_n, g_n = ious.shape
     gtm = -np.ones((t_n, g_n), np.int64)

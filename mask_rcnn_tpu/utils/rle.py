@@ -17,6 +17,11 @@ import numpy as np
 def mask_to_rle_counts(mask: np.ndarray) -> np.ndarray:
     """Binary (H, W) mask -> run lengths of alternating 0/1 in column-major
     order, starting with zeros."""
+    from mask_rcnn_tpu.utils import native
+
+    fast = native.rle_encode(np.asarray(mask))
+    if fast is not None:
+        return fast
     flat = np.asarray(mask, dtype=np.uint8).flatten(order="F")
     n = flat.size
     if n == 0:

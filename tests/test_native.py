@@ -1,0 +1,84 @@
+"""Native C++ eval kernels vs their pure-python references."""
+
+import numpy as np
+import pytest
+
+from mask_rcnn_tpu.utils import native
+from mask_rcnn_tpu.utils.cocoeval import IOU_THRESHS, mask_iou_matrix
+from mask_rcnn_tpu.utils.rle import rle_counts_to_mask
+
+pytestmark = pytest.mark.skipif(
+    native.get_lib() is None, reason="native toolchain unavailable"
+)
+
+
+def _py_match(ious, gt_ignore, det_ignore, threshs):
+    t_n = len(threshs)
+    d_n, g_n = ious.shape
+    gtm = -np.ones((t_n, g_n), np.int64)
+    dtm = -np.ones((t_n, d_n), np.int64)
+    dt_ig = np.zeros((t_n, d_n), bool)
+    for ti, t in enumerate(threshs):
+        for di in range(d_n):
+            best = min(t, 1 - 1e-10)
+            m = -1
+            for gi in range(g_n):
+                if gtm[ti, gi] >= 0 and not gt_ignore[gi]:
+                    continue
+                if m > -1 and not gt_ignore[m] and gt_ignore[gi]:
+                    break
+                if ious[di, gi] < best:
+                    continue
+                best = ious[di, gi]
+                m = gi
+            if m == -1:
+                continue
+            dtm[ti, di] = m
+            dt_ig[ti, di] = gt_ignore[m]
+            gtm[ti, m] = di
+        dt_ig[ti] |= (dtm[ti] < 0) & det_ignore
+    return dtm, dt_ig
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_match_image_native_matches_python(seed):
+    rng = np.random.RandomState(seed)
+    d, g = 20, 7
+    ious = rng.rand(d, g)
+    gt_ignore = rng.rand(g) < 0.3
+    # sort ignored-last, as the caller does
+    order = np.argsort(gt_ignore, kind="stable")
+    ious = ious[:, order]
+    gt_ignore = gt_ignore[order]
+    det_ignore = rng.rand(d) < 0.2
+
+    got = native.coco_match_image(
+        ious, gt_ignore, det_ignore, IOU_THRESHS
+    )
+    want = _py_match(ious, gt_ignore, det_ignore, IOU_THRESHS)
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
+
+
+def test_mask_iou_native_matches_python(monkeypatch):
+    rng = np.random.RandomState(0)
+    det = rng.rand(6, 40, 56) > 0.6
+    gt = rng.rand(4, 40, 56) > 0.6
+    crowd = np.array([0, 1, 0, 0], bool)
+    got = native.mask_iou_packed(det, gt, crowd)
+    # python path: disable native inside mask_iou_matrix
+    monkeypatch.setattr(native, "mask_iou_packed", lambda *a: None)
+    want = mask_iou_matrix(det, gt, crowd)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_rle_encode_native_roundtrip(seed):
+    rng = np.random.RandomState(seed)
+    mask = (rng.rand(33, 47) > 0.5).astype(np.uint8)
+    counts = native.rle_encode(mask)
+    back = rle_counts_to_mask(counts, mask.shape)
+    np.testing.assert_array_equal(back, mask)
+    # starts with a zero run
+    first_on = mask.flatten(order="F").argmax()
+    assert counts[0] == first_on
