@@ -119,6 +119,9 @@ def train(args, train_data, test_data, class_names, dataset_kind,
     )
     evaluator = InstanceSegmentationEvaluator(
         test_data, class_names, kind=dataset_kind,
+        # reference trains VOC with the 11-point 2007 AP
+        # (train_common.py:253-257)
+        use_07_metric=(dataset_kind == "voc"),
         max_examples=args.max_eval_examples,
     )
     out_dir = timestamp_dir(args.logs_dir)

@@ -133,15 +133,15 @@ class ProposalTargetConfig:
     mask_size: int = 14
 
 
-def _crop_resize_mask(mask, roi, out_size):
-    """cv2-parity bilinear crop-resize of one binary mask to (out, out).
+def _mask_sample_coords(roi, size, out_size):
+    """cv2-parity bilinear sample positions for one rounded roi crop.
 
     Replicates reference proposal_target_creator.py:164-177: roi rounded to
     ints (round-half-even like np.round), crop, bilinear resize (cv2 samples
-    at ``(i + .5) * crop/out - .5``), binarize at 0.5 (the one-hot+argmax
+    at ``(i + .5) * crop/out - .5``); binarize at 0.5 (the one-hot+argmax
     construction reduces to interp > 0.5 for a binary mask).
     """
-    h, w = mask.shape
+    h, w = size
     r = jnp.round(roi).astype(jnp.int32)
     y1, x1 = r[0], r[1]
     ch = jnp.maximum(r[2] - y1, 1).astype(jnp.float32)
@@ -161,7 +161,12 @@ def _crop_resize_mask(mask, roi, out_size):
     x0 = jnp.clip(x0, 0, w - 1)
     ly = ys - y0.astype(jnp.float32)
     lx = xs - x0.astype(jnp.float32)
+    return y0, y1i, x0, x1i, ly, lx
 
+
+def _crop_resize_mask(mask, roi, out_size):
+    """Single-mask crop-resize (kept for tests/direct use)."""
+    y0, y1i, x0, x1i, ly, lx = _mask_sample_coords(roi, mask.shape, out_size)
     m = mask.astype(jnp.float32)
     v00 = m[y0][:, x0]
     v01 = m[y0][:, x1i]
@@ -172,6 +177,52 @@ def _crop_resize_mask(mask, roi, out_size):
         + v01 * ((1 - ly)[:, None] * lx[None, :])
         + v10 * (ly[:, None] * (1 - lx)[None, :])
         + v11 * (ly[:, None] * lx[None, :])
+    )
+    return (interp > 0.5).astype(jnp.int32)
+
+
+def _crop_resize_masks_indexed(masks, gt_index, rois, out_size):
+    """Batched crop-resize gathering directly from the (G, H, W) mask stack.
+
+    Gathers only the 4 bilinear corners per output cell through a flat
+    index (gt*H*W + y*W + x) — avoids materializing a full-resolution mask
+    copy per sampled roi (which costs ~GB/step at COCO sizes).
+    """
+    g, h, w = masks.shape
+    s = rois.shape[0]
+
+    def coords(roi):
+        return _mask_sample_coords(roi, (h, w), out_size)
+
+    y0, y1i, x0, x1i, ly, lx = jax.vmap(coords)(rois)  # (S, out) each
+
+    # Two-stage gather: whole mask rows first (contiguous W-byte reads,
+    # HBM-friendly), then columns within the gathered rows. Point-wise
+    # gathers of single bytes from the (G, H, W) stack are ~6x slower.
+    rows2d = masks.reshape(g * h, w)
+    base = (gt_index.astype(jnp.int32) * h)[:, None]
+    row_idx = jnp.concatenate([base + y0, base + y1i], axis=1)  # (S, 2out)
+    rows = jnp.take(rows2d, row_idx.reshape(-1), axis=0).reshape(
+        s, 2 * out_size, w
+    ).astype(jnp.float32)
+    r_y0 = rows[:, :out_size]  # (S, out, W)
+    r_y1 = rows[:, out_size:]
+
+    def cols(rws, xx):
+        idx = jnp.broadcast_to(
+            xx[:, None, :], (s, out_size, out_size)
+        )
+        return jnp.take_along_axis(rws, idx, axis=2)
+
+    wy0 = (1 - ly)[:, :, None]
+    wy1 = ly[:, :, None]
+    wx0 = (1 - lx)[:, None, :]
+    wx1 = lx[:, None, :]
+    interp = (
+        cols(r_y0, x0) * (wy0 * wx0)
+        + cols(r_y0, x1i) * (wy0 * wx1)
+        + cols(r_y1, x0) * (wy1 * wx0)
+        + cols(r_y1, x1i) * (wy1 * wx1)
     )
     return (interp > 0.5).astype(jnp.int32)
 
@@ -253,10 +304,9 @@ def proposal_targets(
         jnp.asarray(loc_normalize_std, gt_loc.dtype)
     )
 
-    sel_masks = jnp.take(mask, sel_gt, axis=0)  # (n, H, W)
-    crops = jax.vmap(
-        lambda m, r: _crop_resize_mask(m, r, cfg.mask_size)
-    )(sel_masks, sample_roi)
+    crops = _crop_resize_masks_indexed(
+        mask, sel_gt, sample_roi, cfg.mask_size
+    )
     gt_mask = jnp.where(sel_pos[:, None, None], crops, -1)
 
     return sample_roi, gt_loc, gt_roi_label, gt_mask
