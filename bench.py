@@ -77,4 +77,16 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The dev TPU tunnel occasionally throws transient runtime errors
+    # (remote-compile HTTP 500s); retry a couple of times before giving up.
+    import traceback
+
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            traceback.print_exc()
+            time.sleep(10)

@@ -66,8 +66,17 @@ def train(
     clip_norm: Optional[float] = None,
 ) -> Dict:
     """Run the full training schedule; returns the final report."""
-    mesh = make_mesh()
-    n_devices = len(mesh.devices.ravel())
+    # Mesh sized from the loader's batch: batch must shard evenly over the
+    # 'data' axis (local_batch = batch_size_per_device * n_mesh_devices).
+    n_needed = max(train_loader.batch_size // batch_size_per_device, 1)
+    devices = jax.local_devices()[:n_needed]
+    if len(devices) < n_needed:
+        raise ValueError(
+            f"batch {train_loader.batch_size} needs {n_needed} devices, "
+            f"have {len(jax.local_devices())}"
+        )
+    mesh = make_mesh(devices)
+    n_devices = len(devices)
     global_batch = batch_size_per_device * n_devices * jax.process_count()
     base_lr = lr if lr is not None else 0.00125 * global_batch
 

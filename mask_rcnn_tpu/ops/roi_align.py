@@ -139,7 +139,7 @@ def roi_align(
     out_size: int,
     spatial_scale: float,
     sampling_ratio: int = 0,
-    roi_chunk: int = 64,
+    roi_chunk: int = 512,
 ) -> jnp.ndarray:
     """Detectron-semantics RoIAlign as two MXU einsums.
 
@@ -218,7 +218,7 @@ def crop_and_resize(
     roi_indices: jnp.ndarray,
     out_size: int,
     spatial_scale: float,
-    roi_chunk: int = 64,
+    roi_chunk: int = 512,
 ) -> jnp.ndarray:
     """Integer crop + align-corners bilinear resize (reference
     functions/crop_and_resize.py:7-41), as separable einsums.
