@@ -28,17 +28,21 @@ class ConcatDataset:
 
 
 def main():
+    import os
+
     from mask_rcnn_tpu.data import COCOInstanceSegmentationDataset
 
     args = train_common.parse_args(
         dataset_defaults=dict(max_epoch=(180e3 * 8) / 118287)
     )
+    root = os.environ.get("COCO_ROOT", "~/data/datasets/COCO")
     train_data = ConcatDataset(
-        COCOInstanceSegmentationDataset("train"),
-        COCOInstanceSegmentationDataset("valminusminival"),
+        COCOInstanceSegmentationDataset("train", root=root),
+        COCOInstanceSegmentationDataset("valminusminival", root=root),
     )
     test_data = COCOInstanceSegmentationDataset(
-        "minival", use_crowd=True, return_crowd=True, return_area=True
+        "minival", root=root, use_crowd=True, return_crowd=True,
+        return_area=True,
     )
     train_common.train(
         args,

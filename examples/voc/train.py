@@ -12,11 +12,16 @@ import train_common  # noqa: E402
 
 
 def main():
+    import os
+
     from mask_rcnn_tpu.data import SBDInstanceSegmentationDataset
 
     args = train_common.parse_args(dataset_defaults=dict(max_epoch=19.0))
-    train_data = SBDInstanceSegmentationDataset("train")
-    test_data = SBDInstanceSegmentationDataset("val")
+    root = os.environ.get(
+        "SBD_ROOT", "~/data/datasets/VOC/benchmark_RELEASE/dataset"
+    )
+    train_data = SBDInstanceSegmentationDataset("train", root=root)
+    test_data = SBDInstanceSegmentationDataset("val", root=root)
     train_common.train(
         args,
         train_data,

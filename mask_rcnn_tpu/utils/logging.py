@@ -103,11 +103,14 @@ def plot_metrics(out_dir: str, entries: List[Dict], keys: List[str],
         return
     xs = [e.get("iteration", i) for i, e in enumerate(entries)]
     plt.figure(figsize=(8, 5))
+    plotted = False
     for k in keys:
         ys = [e.get(k) for e in entries]
         if any(y is not None for y in ys):
             plt.plot(xs, ys, label=k)
-    plt.legend(fontsize=6)
+            plotted = True
+    if plotted:
+        plt.legend(fontsize=6)
     plt.xlabel("iteration")
     plt.grid(True, alpha=0.3)
     plt.savefig(osp.join(out_dir, filename), dpi=100)
