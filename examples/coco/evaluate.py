@@ -11,10 +11,13 @@ import evaluate_common  # noqa: E402
 
 
 def main():
+    import os
+
     from mask_rcnn_tpu.data import COCOInstanceSegmentationDataset
 
     test_data = COCOInstanceSegmentationDataset(
-        "minival", use_crowd=True, return_crowd=True, return_area=True
+        "minival", root=os.environ.get("COCO_ROOT", "~/data/datasets/COCO"),
+        use_crowd=True, return_crowd=True, return_area=True,
     )
     evaluate_common.evaluate(
         test_data,

@@ -1,6 +1,11 @@
 #!/usr/bin/env python
 """Inference speed benchmark (reference examples/coco/speedtest.py parity):
-R-50-C4 COCO model, warmup + timed predict() including host pre/post."""
+R-50-C4 COCO model, warmup + timed predict() including host pre/post.
+
+Note: in the dev environment the TPU sits behind a ~40ms-RTT network tunnel,
+so this all-inclusive host loop (image upload + detections download per
+call) is tunnel-bound; the device-side throughput benchmark is bench.py at
+the repo root."""
 
 import argparse
 import os.path as osp

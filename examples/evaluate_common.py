@@ -32,6 +32,8 @@ def evaluate(test_data, class_names, dataset_kind, indices_vis=None,
     model, _ = build_model_from_log_dir(args.log_dir)
 
     if indices_vis:
+        indices_vis = [i for i in indices_vis if i < len(test_data)]
+    if indices_vis:
         vis = VisReport(
             IndexingDataset(test_data, indices_vis), class_names,
             args.log_dir, indices=range(len(indices_vis)),

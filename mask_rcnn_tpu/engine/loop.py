@@ -120,19 +120,20 @@ def train(
     epoch = 0
     eval_every = max(int(eval_interval_epochs * steps_per_epoch), 1)
 
+    base_rng = jax.device_put(jax.random.PRNGKey(seed), rep)
+
     while it < total_steps:
         for batch in train_loader.epoch(epoch):
             if it >= total_steps:
                 break
-            rng = jax.device_put(
-                jax.random.fold_in(jax.random.PRNGKey(seed), it), rep
-            )
             sbatch = shard_batch(batch, mesh)
-            state, metrics = p_step(state, sbatch, rng)
+            state, metrics = p_step(state, sbatch, base_rng)
             it += 1
 
-            for k, v in jax.device_get(metrics).items():
-                running[k] = running.get(k, 0.0) + float(v)
+            # Accumulate lazily on device; only materialize at log time
+            # (a per-step device_get would synchronize every step).
+            for k, v in metrics.items():
+                running[k] = running.get(k, 0.0) + v
             if it % log_interval == 0 and process_zero():
                 entry = {
                     "epoch": epoch,
@@ -142,7 +143,7 @@ def train(
                 }
                 entry.update(
                     {
-                        "main/" + k: v / log_interval
+                        "main/" + k: float(jax.device_get(v)) / log_interval
                         for k, v in running.items()
                     }
                 )

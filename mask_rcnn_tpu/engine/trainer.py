@@ -119,9 +119,13 @@ def make_train_step(cfg: MaskRCNNConfig, optimizer, proposal_cfg=None,
     a_cfg = anchor_cfg or AnchorTargetConfig()
 
     def step_fn(state: TrainState, batch, rng):
+        # Derive the per-step key on device (rng stays a constant base key;
+        # uploading a fresh key per step would cost a host round-trip).
+        step_rng = jax.random.fold_in(rng, state.step)
+
         def loss_fn(params):
             return train_loss(
-                params, cfg, batch, rng,
+                params, cfg, batch, step_rng,
                 anchor_cfg=a_cfg, proposal_cfg=p_cfg,
             )
 
