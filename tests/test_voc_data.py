@@ -1,0 +1,84 @@
+"""VOC2012 dataset loader against synthetic on-disk palette PNGs."""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+from PIL import Image
+
+from mask_rcnn_tpu.data.voc import (
+    VOC2012InstanceSegmentationDataset,
+    VOCLikeDataset,
+)
+
+
+@pytest.fixture(scope="module")
+def mini_voc(tmp_path_factory):
+    root = tmp_path_factory.mktemp("voc")
+    for d in ("JPEGImages", "SegmentationClass", "SegmentationObject",
+              "ImageSets/Segmentation"):
+        os.makedirs(root / d)
+    rng = np.random.RandomState(0)
+    ids = []
+    for k in range(2):
+        did = f"2012_{k:06d}"
+        ids.append(did)
+        h, w = 50, 70
+        img = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+        cv2.imwrite(str(root / "JPEGImages" / (did + ".jpg")), img)
+        cls = np.zeros((h, w), np.uint8)
+        obj = np.zeros((h, w), np.uint8)
+        # two instances: classes 15 (person) and 8 (cat); 255 border ignore
+        cls[5:20, 5:30] = 15
+        obj[5:20, 5:30] = 1
+        cls[25:45, 35:65] = 8
+        obj[25:45, 35:65] = 2
+        cls[0, :] = 255
+        obj[0, :] = 255
+        # plain grayscale PNGs: the loader reads palette indices and gray
+        # values identically (PIL fromarray(mode="P") corrupts indices)
+        Image.fromarray(cls).save(
+            root / "SegmentationClass" / (did + ".png"))
+        Image.fromarray(obj).save(
+            root / "SegmentationObject" / (did + ".png"))
+    with open(root / "ImageSets/Segmentation/train.txt", "w") as f:
+        f.write("\n".join(ids) + "\n")
+    return str(root)
+
+
+def test_voc2012_contract(mini_voc):
+    ds = VOC2012InstanceSegmentationDataset("train", root=mini_voc)
+    assert len(ds) == 2
+    img, bboxes, labels, masks = ds[0]
+    assert img.shape == (50, 70, 3)
+    assert bboxes.shape == (2, 4)
+    # labels 0-based fg: person=15 -> 14, cat=8 -> 7
+    assert sorted(labels.tolist()) == [7, 14]
+    assert masks.shape == (2, 50, 70)
+    person = masks[labels.tolist().index(14)]
+    assert person[10, 10] == 1 and person[30, 40] == 0
+    # boxes tight around the instances
+    i = labels.tolist().index(14)
+    np.testing.assert_allclose(bboxes[i], [5, 5, 20, 30])
+
+
+def test_voclike_dataset(tmp_path):
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (30, 40, 3), dtype=np.uint8)
+    cls = np.zeros((30, 40), np.int32)
+    ins = np.zeros((30, 40), np.int32)
+    cls[5:15, 5:25] = 2
+    ins[5:15, 5:25] = 1
+    cv2.imwrite(str(tmp_path / "a.jpg"), img)
+    np.save(tmp_path / "a_cls.npy", cls)
+    np.save(tmp_path / "a_ins.npy", ins)
+    ds = VOCLikeDataset(
+        [str(tmp_path / "a.jpg")],
+        [str(tmp_path / "a_cls.npy")],
+        [str(tmp_path / "a_ins.npy")],
+        class_names=("x", "y", "z"),
+    )
+    img2, bboxes, labels, masks = ds[0]
+    assert labels.tolist() == [1]  # class 2 -> 0-based 1
+    np.testing.assert_allclose(bboxes[0], [5, 5, 15, 25])
