@@ -13,12 +13,17 @@ the resident feature block instead of refetching it.
 The backward pass is registered via ``jax.custom_vjp`` as the transpose
 einsums (matmuls, no scatter — same property as the forward).
 
-STATUS: EXPERIMENTAL, not wired as the default. On the current toolchain
-Mosaic takes pathologically long to lower the in-VMEM relayout between the
-two matmuls (the (RB*P, W*CB) -> (RB, W, P*CB) transpose), so the XLA einsum
-path in ops/roi_align.py remains the production implementation. Kept for
-iteration in later rounds (the fix is a layout-preserving second contraction
-or pre-transposed feature slabs).
+STATUS: EXPERIMENTAL, not wired as the default. Measured on v5e (1000 rois,
+(1, 52, 84, 1024) bf16 features, P=14):
+  * v1 (4D transpose between matmuls): Mosaic lowering >10 min, aborted;
+  * v2 below (pre-flattened feature slabs + per-roi small dots): compiles in
+    ~7 s, exact, 14.4 ms;
+  * v3 (block-diagonal Ax so stage 2 is one (112, 672)x(672, 1792) matmul):
+    compiles in ~5 min, exact, 14.1 ms;
+  * production XLA einsum path (ops/roi_align.py): 12.2 ms.
+The in-VMEM relayout between the h- and w-contractions costs more than the
+HBM round-trip it avoids on this toolchain, so the einsum path stays the
+default. Kept for re-evaluation on newer Mosaic releases.
 """
 
 from __future__ import annotations
@@ -59,6 +64,78 @@ def _fused_kernel(ay_ref, ax_ref, f_ref, out_ref):
     )
     o = o.reshape(rb, p, p, cb).transpose(0, 2, 1, 3)  # (r, p_y, q_x, cb)
     out_ref[:] = o.astype(out_ref.dtype)
+
+
+def _fused_kernel_v2(ay_ref, ax_ref, f_ref, out_ref):
+    """Variant avoiding the big 4D relayout: f arrives pre-flattened
+    (1, NH, W*CB); the second contraction runs per-roi on small tensors.
+
+    ay_ref: (RB, P, NH); ax_ref: (RB, P, W); f_ref: (1, NH, W*CB);
+    out_ref: (RB, P, P, CB).
+    """
+    rb, p, nh = ay_ref.shape
+    w = ax_ref.shape[2]
+    cb = out_ref.shape[3]
+
+    f2 = f_ref[0]  # (NH, W*CB)
+    ay = ay_ref[:].reshape(rb * p, nh)
+    t = jnp.dot(ay, f2, preferred_element_type=jnp.float32)  # (RB*P, W*CB)
+    for r in range(rb):  # static unroll
+        t_r = t[r * p:(r + 1) * p].reshape(p, w, cb)
+        o = jax.lax.dot_general(
+            ax_ref[r].astype(jnp.float32),
+            t_r,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (P_q, P_p, CB)
+        out_ref[r] = o.transpose(1, 0, 2).astype(out_ref.dtype)
+
+
+def roi_align_fused_v2(features, rois, roi_indices, out_size, spatial_scale,
+                       sampling_ratio=0, roi_block=8, channel_block=128):
+    """Forward-only v2 kernel (pre-flattened feature slabs)."""
+    n, h, w, c = features.shape
+    r = rois.shape[0]
+    p = out_size
+    nh = n * h
+    rb = roi_block
+    cb = min(channel_block, c)
+    assert c % cb == 0
+    ncb = c // cb
+    pad = (-r) % rb
+    rois_p = jnp.pad(rois, ((0, pad), (0, 0)))
+    idx_p = jnp.pad(roi_indices, (0, pad))
+    rp = r + pad
+
+    ay, ax = _roi_align_matrices(
+        rois_p, idx_p, n, h, w, p, p, spatial_scale, sampling_ratio
+    )
+    ay = ay.astype(features.dtype)
+    ax = ax.astype(features.dtype)
+    # (NH, W, C) -> (NCB, NH, W*CB): one cheap XLA relayout outside the
+    # kernel so programs read 2D slabs directly.
+    fb = features.reshape(nh, w, ncb, cb).transpose(2, 0, 1, 3).reshape(
+        ncb, nh, w * cb
+    )
+
+    out = pl.pallas_call(
+        _fused_kernel_v2,
+        out_shape=jax.ShapeDtypeStruct((rp, p, p, c), features.dtype),
+        grid=(ncb, rp // rb),
+        in_specs=[
+            pl.BlockSpec((rb, p, nh), lambda ci, ri: (ri, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, p, w), lambda ci, ri: (ri, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nh, w * cb), lambda ci, ri: (ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (rb, p, p, cb), lambda ci, ri: (ri, 0, 0, ci),
+            memory_space=pltpu.VMEM,
+        ),
+    )(ay, ax, fb)
+    return out[:r]
 
 
 def _forward(features, rois, roi_indices, out_size, spatial_scale,

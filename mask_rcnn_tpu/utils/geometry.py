@@ -107,6 +107,29 @@ def instance_boxes2label(
     return label_class, label_instance
 
 
+def label_rois(rois, label_instance, label_class, overlap_thresh=0.5):
+    """Assign instance classes/masks to rois by best box overlap
+    (reference geometry.py:183-218): class 0 + None mask below threshold.
+
+    Returns (roi_classes (R,) int32, list of per-roi cropped masks or None).
+    """
+    inst_clss, inst_rois, inst_masks = label2instance_boxes(
+        label_instance, label_class
+    )
+    roi_clss, roi_inst_masks = [], []
+    for roi in rois:
+        overlaps = [get_bbox_overlap(roi, ir) for ir in inst_rois]
+        ind = int(np.argmax(overlaps)) if overlaps else 0
+        if overlaps and overlaps[ind] > overlap_thresh:
+            y1, x1, y2, x2 = [int(v) for v in roi]
+            roi_clss.append(int(inst_clss[ind]))
+            roi_inst_masks.append(inst_masks[ind][y1:y2, x1:x2])
+        else:
+            roi_clss.append(0)
+            roi_inst_masks.append(None)
+    return np.asarray(roi_clss, np.int32), roi_inst_masks
+
+
 def label_to_bboxes(label: np.ndarray, ignore_label=(-1, 0)) -> np.ndarray:
     """Boxes for each unique region id in a label image."""
     ids = np.unique(label)
