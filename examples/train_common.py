@@ -68,6 +68,10 @@ def parse_args(dataset_defaults: dict):
         "--clip-norm", type=float, default=None,
         help="global gradient-norm clip (off = reference parity)",
     )
+    parser.add_argument(
+        "--remat", action="store_true",
+        help="rematerialize backbone stages (larger per-chip batches)",
+    )
     return parser.parse_args()
 
 
@@ -101,6 +105,7 @@ def train(args, train_data, test_data, class_names, dataset_kind,
         roi_size=args.roi_size,
         pooling=args.pooling_func,
         compute_dtype=args.compute_dtype,
+        remat=args.remat,
     )
     transform = MaskRCNNTransform(
         min_size, max_size, cfg.mean, train=True,

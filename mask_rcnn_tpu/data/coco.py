@@ -113,6 +113,14 @@ class COCOInstanceSegmentationDataset:
     def __len__(self):
         return len(self.img_ids)
 
+    def image_sizes(self):
+        """(H, W) per example without decoding images (from the json) —
+        enables aspect-ratio grouping in the train loader."""
+        return [
+            (self.images[i]["height"], self.images[i]["width"])
+            for i in self.img_ids
+        ]
+
     def download(self):
         print("No network egress in this environment. Fetch manually:")
         for k, v in self.DOWNLOAD_URLS.items():

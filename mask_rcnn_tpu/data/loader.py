@@ -119,6 +119,18 @@ class TrainLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.prefetch = prefetch
+        # Aspect-ratio grouping (Detectron-style): batching portrait with
+        # landscape pads both to a square worst-case bucket (~45% wasted
+        # compute + an extra compiled graph). If the dataset exposes cheap
+        # per-image sizes (COCO json does), group orientations per batch.
+        self.aspect_flags = None
+        sizes = getattr(dataset, "image_sizes", None)
+        if callable(sizes):
+            sizes = sizes()
+        if sizes is not None and len(sizes) == len(dataset):
+            self.aspect_flags = np.asarray(
+                [s[1] >= s[0] for s in sizes], bool
+            )  # True = landscape
 
     def epoch_indices(self, epoch: int) -> np.ndarray:
         rng = np.random.RandomState(self.seed + epoch)
@@ -126,7 +138,24 @@ class TrainLoader:
         # Per-host contiguous shard of the shuffled order (replaces
         # chainermn.scatter_dataset(shuffle=True)).
         per = len(idx) // self.process_count
-        return idx[self.process_index * per:(self.process_index + 1) * per]
+        idx = idx[self.process_index * per:(self.process_index + 1) * per]
+        if self.aspect_flags is not None:
+            # Stable-partition the shard by orientation, form whole batches
+            # within each group, then shuffle batch order.
+            land = idx[self.aspect_flags[idx]]
+            port = idx[~self.aspect_flags[idx]]
+            b = self.batch_size
+            batches = [
+                grp[i:i + b]
+                for grp in (land, port)
+                for i in range(0, len(grp) - b + 1, b)
+            ]
+            order = rng.permutation(len(batches))
+            if batches:
+                idx = np.concatenate([batches[i] for i in order])
+            else:
+                idx = idx[:0]
+        return idx
 
     def _make_batches(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         idx = self.epoch_indices(epoch)

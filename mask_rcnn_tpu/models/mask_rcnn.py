@@ -61,6 +61,9 @@ class MaskRCNNConfig:
     # the 0.05 threshold (vanishingly rare; set 0 to disable for strict
     # parity). Cuts the (Rp x Rp) per-class NMS work ~15x.
     nms_topk_per_class: int = 256
+    # Rematerialize backbone stages in the backward pass (larger per-chip
+    # training batches at ~1/3 extra backbone FLOPs).
+    remat: bool = False
 
     @property
     def n_class(self) -> int:
@@ -116,7 +119,7 @@ def forward_backbone_rpn(params, cfg, images, train=False):
     (features, rpn_locs, rpn_scores, anchors)."""
     x = images.astype(cfg.compute_dtype)
     feats = resnet.extractor_forward(
-        params["extractor"], x, cfg.n_layers, train=train
+        params["extractor"], x, cfg.n_layers, train=train, remat=cfg.remat
     )
     locs, scores = rpn.rpn_forward(params["rpn"], feats)
     anchors = jnp.asarray(

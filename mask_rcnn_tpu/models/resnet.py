@@ -23,6 +23,8 @@ so both the chainer-npz and Detectron-pkl importers are mechanical renames.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -91,19 +93,27 @@ def building_block(params, x, n_blocks, stride):
 
 
 def extractor_forward(params, x, n_layers=50, freeze_at="res2",
-                      train=False):
+                      train=False, remat=False):
     """conv1 .. res4 -> (N, H/16, W/16, 1024) C4 features.
 
     ``freeze_at`` replicates the reference's ``unchain_backward`` after the
     named stage (resnet_extractor.py:77-90): a ``stop_gradient`` cut so the
-    frozen stages get no gradients during training.
+    frozen stages get no gradients during training. ``remat`` checkpoints
+    each stage (recompute activations in the backward pass) to trade FLOPs
+    for HBM — enables larger per-chip batches.
     """
     blocks = RESNET_N_BLOCKS[n_layers]
     h = conv2d(x, params["conv1"]["W"], stride=2, padding=[(3, 3), (3, 3)])
     h = jax.nn.relu(affine(h, params["bn1"]))
     h = max_pool_3x3_s2_p1(h)
     for i, stage in enumerate(["res2", "res3", "res4"]):
-        h = building_block(params[stage], h, blocks[i], STAGE_STRIDES[stage])
+        fn = functools.partial(
+            building_block, n_blocks=blocks[i],
+            stride=STAGE_STRIDES[stage],
+        )
+        if remat and train:
+            fn = jax.checkpoint(fn)
+        h = fn(params[stage], h)
         if train and freeze_at == stage:
             h = jax.lax.stop_gradient(h)
     return h

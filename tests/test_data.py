@@ -87,3 +87,53 @@ def test_label_instance_roundtrip():
     labels2, bboxes2, masks2 = label2instance_boxes(lbl_ins, lbl_cls)
     assert len(labels2) == len(labels)
     assert set(labels2) <= set(labels + 1)
+
+
+def test_aspect_ratio_grouping():
+    from mask_rcnn_tpu.data.loader import TrainLoader
+
+    class FakeDS:
+        def __len__(self):
+            return 20
+
+        def __getitem__(self, i):
+            raise AssertionError("not needed")
+
+        def image_sizes(self):
+            # even = landscape, odd = portrait
+            return [(50, 100) if i % 2 == 0 else (100, 50)
+                    for i in range(20)]
+
+    loader = TrainLoader(FakeDS(), None, batch_size=4, seed=0)
+    idx = loader.epoch_indices(0)
+    flags = loader.aspect_flags
+    assert len(idx) % 4 == 0 and len(idx) > 0
+    for b in range(0, len(idx), 4):
+        batch_flags = flags[idx[b:b + 4]]
+        assert batch_flags.all() or (~batch_flags).all()
+    # different epochs shuffle differently but stay grouped
+    idx2 = loader.epoch_indices(1)
+    assert not np.array_equal(idx, idx2)
+
+
+def test_remat_grads_match():
+    import jax
+    import jax.numpy as jnp
+
+    from mask_rcnn_tpu.models.resnet import extractor_forward, init_extractor
+
+    params = init_extractor(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 32, 32, 3),
+                    jnp.float32)
+
+    def loss(p, remat):
+        return jnp.sum(
+            extractor_forward(p, x, train=True, remat=remat) ** 2
+        )
+
+    g1 = jax.grad(lambda p: loss(p, False))(params)
+    g2 = jax.grad(lambda p: loss(p, True))(params)
+    a = g1["res3"]["a"]["conv1"]["W"]
+    b = g2["res3"]["a"]["conv1"]["W"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-6)
