@@ -64,3 +64,26 @@ def test_softmax_ce_ignore_and_mean():
     got2 = float(softmax_cross_entropy(logits, labels2))
     # first row wrong by ~10 nats, averaged over 2 valid rows
     np.testing.assert_allclose(got2, 10.0 / 2, rtol=1e-2)
+
+
+def test_affine_channel_and_bn_fold():
+    import jax.numpy as jnp
+
+    from mask_rcnn_tpu.ops import affine_channel, fold_batch_norm
+
+    x = np.random.RandomState(0).randn(2, 4, 4, 3).astype(np.float32)
+    scale = np.asarray([2.0, 0.5, 1.0], np.float32)
+    bias = np.asarray([1.0, -1.0, 0.0], np.float32)
+    y = np.asarray(affine_channel(jnp.asarray(x), scale, bias))
+    np.testing.assert_allclose(y, x * scale + bias, rtol=1e-6)
+
+    gamma = np.asarray([1.0, 2.0], np.float32)
+    beta = np.asarray([0.5, -0.5], np.float32)
+    mean = np.asarray([0.1, 0.2], np.float32)
+    var = np.asarray([4.0, 1.0], np.float32)
+    p = fold_batch_norm(gamma, beta, mean, var, eps=1e-5)
+    # y = gamma*(x-mean)/sqrt(var+eps) + beta == scale*x + bias
+    xs = np.linspace(-2, 2, 7, dtype=np.float32)[:, None]
+    want = gamma * (xs - mean) / np.sqrt(var + 1e-5) + beta
+    got = xs * np.asarray(p["scale"]) + np.asarray(p["bias"])
+    np.testing.assert_allclose(got, want, rtol=1e-5)
