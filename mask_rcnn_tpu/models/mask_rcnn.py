@@ -171,7 +171,7 @@ def _decode_single(cfg, roi, roi_valid, cls_loc, score, size, scale):
             top_b = jnp.take(boxes_l, top_i, axis=0)
             idx, mask = nms_padded(
                 top_b, top_p, cfg.nms_thresh, d,
-                valid=jnp.isfinite(top_p),
+                valid=jnp.isfinite(top_p), presorted=True,
             )
             b = jnp.take(top_b, jnp.maximum(idx, 0), axis=0)
             s = jnp.take(top_p, jnp.maximum(idx, 0))

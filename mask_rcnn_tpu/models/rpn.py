@@ -123,7 +123,8 @@ def propose_single(
     top_valid = jnp.isfinite(top_scores)
 
     keep_idx, keep_mask = nms_padded(
-        top_rois, top_scores, cfg.nms_thresh, n_post, valid=top_valid
+        top_rois, top_scores, cfg.nms_thresh, n_post, valid=top_valid,
+        presorted=True,  # straight out of top_k
     )
     rois = jnp.take(top_rois, jnp.maximum(keep_idx, 0), axis=0)
     rois = jnp.where(keep_mask[:, None], rois, 0.0)

@@ -181,14 +181,18 @@ def _crop_resize_mask(mask, roi, out_size):
     return (interp > 0.5).astype(jnp.int32)
 
 
-def _crop_resize_masks_indexed(masks, gt_index, rois, out_size):
-    """Batched crop-resize gathering directly from the (G, H, W) mask stack.
+def _crop_resize_masks_indexed(masks, gt_index, rois, out_size,
+                               packed=False):
+    """Batched crop-resize gathering directly from the (G, H, W) mask stack
+    (or its bit-packed (G, H, W/8) form when ``packed``).
 
-    Gathers only the 4 bilinear corners per output cell through a flat
-    index (gt*H*W + y*W + x) — avoids materializing a full-resolution mask
-    copy per sampled roi (which costs ~GB/step at COCO sizes).
+    Gathers only the needed mask rows (contiguous reads, and 8x less gather
+    volume when packed) then columns within them — point-wise byte gathers
+    from the full stack are ~6x slower, and materializing a full-resolution
+    mask copy per sampled roi costs ~GB/step at COCO sizes.
     """
-    g, h, w = masks.shape
+    g, h, wm = masks.shape
+    w = wm * 8 if packed else wm
     s = rois.shape[0]
 
     def coords(roi):
@@ -196,15 +200,16 @@ def _crop_resize_masks_indexed(masks, gt_index, rois, out_size):
 
     y0, y1i, x0, x1i, ly, lx = jax.vmap(coords)(rois)  # (S, out) each
 
-    # Two-stage gather: whole mask rows first (contiguous W-byte reads,
-    # HBM-friendly), then columns within the gathered rows. Point-wise
-    # gathers of single bytes from the (G, H, W) stack are ~6x slower.
-    rows2d = masks.reshape(g * h, w)
+    rows2d = masks.reshape(g * h, wm)
     base = (gt_index.astype(jnp.int32) * h)[:, None]
     row_idx = jnp.concatenate([base + y0, base + y1i], axis=1)  # (S, 2out)
-    rows = jnp.take(rows2d, row_idx.reshape(-1), axis=0).reshape(
-        s, 2 * out_size, w
-    ).astype(jnp.float32)
+    rows = jnp.take(rows2d, row_idx.reshape(-1), axis=0)
+    if packed:
+        shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+        rows = (
+            (rows[..., None] >> shifts) & jnp.uint8(1)
+        ).reshape(rows.shape[0], w)
+    rows = rows.reshape(s, 2 * out_size, w).astype(jnp.float32)
     r_y0 = rows[:, :out_size]  # (S, out, W)
     r_y1 = rows[:, out_size:]
 
@@ -238,6 +243,7 @@ def proposal_targets(
     cfg: ProposalTargetConfig = ProposalTargetConfig(),
     loc_normalize_mean=(0.0, 0.0, 0.0, 0.0),
     loc_normalize_std=(0.1, 0.1, 0.2, 0.2),
+    mask_packed: bool = False,
 ):
     """Sample rois + build head training targets for one image.
 
@@ -305,7 +311,7 @@ def proposal_targets(
     )
 
     crops = _crop_resize_masks_indexed(
-        mask, sel_gt, sample_roi, cfg.mask_size
+        mask, sel_gt, sample_roi, cfg.mask_size, packed=mask_packed
     )
     gt_mask = jnp.where(sel_pos[:, None, None], crops, -1)
 

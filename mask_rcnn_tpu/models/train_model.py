@@ -59,15 +59,10 @@ def train_loss(
     n = images.shape[0]
     img_size = images.shape[1:3]
 
-    masks = batch["mask"]
-    if masks.shape[-1] * 8 == img_size[1]:
-        # bit-packed along W by the loader (data/loader.py pack_mask_bits):
-        # unpack on device — 8x less H2D traffic for the biggest batch field.
-        shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
-        masks = (
-            (masks[..., None] >> shifts) & jnp.uint8(1)
-        ).reshape(masks.shape[:-1] + (img_size[1],))
-    batch = dict(batch, mask=masks)
+    # Masks arrive bit-packed along W from the loader (pack_mask_bits): 8x
+    # less H2D traffic, and the target creator consumes the packed form
+    # directly (unpacking only the gathered crop rows).
+    mask_packed = batch["mask"].shape[-1] * 8 == img_size[1]
 
     from mask_rcnn_tpu.models.mask_rcnn import cast_params
 
@@ -93,6 +88,7 @@ def train_loss(
         lambda k, r, rv, b, l, bv, m: proposal_targets(
             k, r, rv, b, l, bv, m, proposal_cfg,
             cfg.loc_normalize_mean, cfg.loc_normalize_std,
+            mask_packed=mask_packed,
         )
     )(
         jax.random.split(key_p, n),

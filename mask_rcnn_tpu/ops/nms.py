@@ -76,6 +76,7 @@ def nms_padded(
     thresh: float,
     max_out: int,
     valid: jnp.ndarray | None = None,
+    presorted: bool = False,
 ):
     """Greedy NMS over padded boxes.
 
@@ -89,6 +90,8 @@ def nms_padded(
         thresh: IoU suppression threshold.
         max_out: number of survivors to return (padded).
         valid: optional (N,) bool mask of real rows.
+        presorted: rows already in descending-score order with valid rows
+            first (e.g. straight out of lax.top_k) — skips a full sort.
 
     Returns:
         indices: (max_out,) int32 indices into the input, score-ordered,
@@ -98,10 +101,17 @@ def nms_padded(
     n = bbox.shape[0]
     if valid is None:
         valid = jnp.ones((n,), dtype=bool)
-    neg_inf = jnp.asarray(-jnp.inf, dtype=score.dtype)
-    order = jnp.argsort(jnp.where(valid, score, neg_inf), descending=True)
-    bbox_sorted = jnp.take(bbox, order, axis=0)
-    valid_sorted = jnp.take(valid, order, axis=0)
+    if presorted:
+        order = jnp.arange(n, dtype=jnp.int32)
+        bbox_sorted = bbox
+        valid_sorted = valid
+    else:
+        neg_inf = jnp.asarray(-jnp.inf, dtype=score.dtype)
+        order = jnp.argsort(
+            jnp.where(valid, score, neg_inf), descending=True
+        )
+        bbox_sorted = jnp.take(bbox, order, axis=0)
+        valid_sorted = jnp.take(valid, order, axis=0)
 
     kept = nms_fixpoint_mask(bbox_sorted, valid_sorted, thresh)
 
