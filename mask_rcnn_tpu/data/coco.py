@@ -12,7 +12,6 @@ no egress, so ``download()`` only validates presence and prints the URLs.
 from __future__ import annotations
 
 import json
-import os
 import os.path as osp
 from typing import Dict, List
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import threading
 import queue as queue_mod
-from typing import Dict, Iterator, Optional, Sequence
+from typing import Dict, Iterator, Sequence
 
 import numpy as np
 

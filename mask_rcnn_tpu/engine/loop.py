@@ -20,7 +20,6 @@ from dataclasses import asdict
 from typing import Dict, Optional
 
 import jax
-import numpy as np
 
 from mask_rcnn_tpu.engine.evaluator import (
     InstanceSegmentationEvaluator,

@@ -21,7 +21,7 @@ import numpy as np
 
 from mask_rcnn_tpu.models import heads, resnet, rpn
 from mask_rcnn_tpu.ops import anchors as anchor_ops
-from mask_rcnn_tpu.ops.boxes import clip_boxes, loc2bbox
+from mask_rcnn_tpu.ops.boxes import loc2bbox
 from mask_rcnn_tpu.ops.nms import nms_padded
 from mask_rcnn_tpu.ops.roi_align import POOLING_FUNCS
 

@@ -13,7 +13,7 @@ COCO-val-scale evaluation stays tractable on one CPU core.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
