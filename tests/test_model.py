@@ -166,3 +166,47 @@ def test_api_predict_contract():
             assert masks[i].dtype == bool
             assert labels[i].min() >= 0
             assert labels[i].max() < 3
+
+
+def test_deconv_matches_torch():
+    """deconv2x2_s2 (einsum formulation) vs torch.conv_transpose2d — the
+    weight-importer layouts depend on this equivalence."""
+    import torch
+
+    from mask_rcnn_tpu.models.heads import deconv2x2_s2
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 5, 6, 8).astype(np.float32)  # NHWC
+    w = rng.randn(2, 2, 8, 3).astype(np.float32)  # (kh, kw, cin, cout)
+    b = rng.randn(3).astype(np.float32)
+
+    got = np.asarray(deconv2x2_s2(jnp.asarray(x), jnp.asarray(w),
+                                  jnp.asarray(b)))
+
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))  # NCHW
+    # torch conv_transpose2d weight: (in, out, kh, kw)
+    wt = torch.from_numpy(w.transpose(2, 3, 0, 1))
+    yt = torch.nn.functional.conv_transpose2d(
+        xt, wt, bias=torch.from_numpy(b), stride=2
+    )
+    want = yt.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_conv2d_matches_torch():
+    import torch
+
+    from mask_rcnn_tpu.models.resnet import conv2d
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 16, 18, 3).astype(np.float32)
+    w = rng.randn(7, 7, 3, 4).astype(np.float32)  # HWIO
+    got = np.asarray(
+        conv2d(jnp.asarray(x), jnp.asarray(w), stride=2,
+               padding=[(3, 3), (3, 3)])
+    )
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    wt = torch.from_numpy(w.transpose(3, 2, 0, 1))  # OIHW
+    yt = torch.nn.functional.conv2d(xt, wt, stride=2, padding=3)
+    want = yt.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
