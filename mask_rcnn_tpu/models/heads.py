@@ -49,16 +49,30 @@ def head_forward(
         scores: (R, n_class)
         masks: (R, mask_size, mask_size, n_fg_class) logits, NHWC.
     """
-    pool = pooling_func(
-        features,
-        rois,
-        roi_indices,
-        out_size=roi_size,
-        spatial_scale=spatial_scale,
-        **({"sampling_ratio": sampling_ratio}
-           if pooling_func is roi_align else {}),
-    )
-    h = res5_forward(params["res5"], pool, stride=roi_size // 7)
+    s5 = roi_size // 7
+    if pooling_func is roi_align and s5 > 1:
+        # The caffe-convention res5 puts its stride on 1x1 convs, which read
+        # only every s5-th pooled cell — so with roi_size=14 only the even
+        # 7x7 subgrid of the 14x14 pooling is ever used. Computing just
+        # those bins (bin_stride) and running res5 at stride 1 is
+        # bit-identical and does 1/s5^2 of the pooling work.
+        pool = roi_align(
+            features, rois, roi_indices, out_size=7,
+            spatial_scale=spatial_scale, sampling_ratio=sampling_ratio,
+            bin_stride=s5,
+        )
+        h = res5_forward(params["res5"], pool, stride=1)
+    else:
+        pool = pooling_func(
+            features,
+            rois,
+            roi_indices,
+            out_size=roi_size,
+            spatial_scale=spatial_scale,
+            **({"sampling_ratio": sampling_ratio}
+               if pooling_func is roi_align else {}),
+        )
+        h = res5_forward(params["res5"], pool, stride=s5)
 
     out = {}
     if pred_bbox:

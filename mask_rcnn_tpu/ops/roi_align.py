@@ -42,6 +42,7 @@ def _interp_matrix(
     axis_size: int,
     total_size: int,
     offset: jnp.ndarray,
+    bin_stride: int = 1,
 ) -> jnp.ndarray:
     """Per-roi 1-D RoIAlign interpolation matrix.
 
@@ -55,13 +56,16 @@ def _interp_matrix(
         total_size: row dimension of the matrix (N*H for y, W for x).
         offset: (R,) int32 global offset of this roi's rows (batch_index *
             axis_size for the y axis, zeros for x).
+        bin_stride: compute only every ``bin_stride``-th bin of a
+            ``pooled * bin_stride`` grid (bins 0, s, 2s, ...). Used to skip
+            pooled cells that a following strided 1x1 conv would discard.
 
     Returns:
         (R, pooled, total_size) float32 matrix, rows scaled by 1/grid.
     """
     r = start.shape[0]
-    bin_size = extent / pooled  # (R,)
-    p_idx = jnp.arange(pooled, dtype=start.dtype)  # (P,)
+    bin_size = extent / (pooled * bin_stride)  # (R,)
+    p_idx = jnp.arange(pooled, dtype=start.dtype) * bin_stride  # (P,)
     s_idx = jnp.arange(max_grid, dtype=start.dtype)  # (S,)
 
     gridf = grid.astype(start.dtype)
@@ -97,15 +101,23 @@ def _interp_matrix(
 
 
 def _roi_align_matrices(
-    rois, roi_indices, n, h, w, out_h, out_w, spatial_scale, sampling_ratio
+    rois, roi_indices, n, h, w, out_h, out_w, spatial_scale, sampling_ratio,
+    bin_stride=1,
 ):
-    """Build the (Ay, Ax) interpolation matrices for a batch of rois."""
+    """Build the (Ay, Ax) interpolation matrices for a batch of rois.
+
+    With ``bin_stride`` s, the matrices cover bins (0, s, 2s, ...) of a
+    virtual ``out * s`` grid — identical values to computing the full grid
+    and slicing ``[::s]``.
+    """
     rois = jax.lax.stop_gradient(rois.astype(jnp.float32))
     start_y = rois[:, 0] * spatial_scale
     start_x = rois[:, 1] * spatial_scale
     extent_y = jnp.maximum(rois[:, 2] * spatial_scale - start_y, 1.0)
     extent_x = jnp.maximum(rois[:, 3] * spatial_scale - start_x, 1.0)
 
+    full_h = out_h * bin_stride
+    full_w = out_w * bin_stride
     if sampling_ratio > 0:
         max_grid_y = max_grid_x = int(sampling_ratio)
         grid_y = jnp.full(rois.shape[:1], sampling_ratio, jnp.int32)
@@ -114,20 +126,22 @@ def _roi_align_matrices(
         # Adaptive grid = ceil(extent / pooled); extent <= feature size since
         # proposals are clipped to the image, so the static bound is
         # ceil(size / pooled).
-        max_grid_y = -(-h // out_h)
-        max_grid_x = -(-w // out_w)
-        grid_y = jnp.ceil(extent_y / out_h).astype(jnp.int32)
-        grid_x = jnp.ceil(extent_x / out_w).astype(jnp.int32)
+        max_grid_y = -(-h // full_h)
+        max_grid_x = -(-w // full_w)
+        grid_y = jnp.ceil(extent_y / full_h).astype(jnp.int32)
+        grid_x = jnp.ceil(extent_x / full_w).astype(jnp.int32)
         grid_y = jnp.clip(grid_y, 1, max_grid_y)
         grid_x = jnp.clip(grid_x, 1, max_grid_x)
 
     offset_y = roi_indices.astype(jnp.int32) * h
     offset_x = jnp.zeros_like(offset_y)
     ay = _interp_matrix(
-        start_y, extent_y, grid_y, out_h, max_grid_y, h, n * h, offset_y
+        start_y, extent_y, grid_y, out_h, max_grid_y, h, n * h, offset_y,
+        bin_stride,
     )
     ax = _interp_matrix(
-        start_x, extent_x, grid_x, out_w, max_grid_x, w, w, offset_x
+        start_x, extent_x, grid_x, out_w, max_grid_x, w, w, offset_x,
+        bin_stride,
     )
     return ay, ax
 
@@ -140,6 +154,7 @@ def roi_align(
     spatial_scale: float,
     sampling_ratio: int = 0,
     roi_chunk: int = 512,
+    bin_stride: int = 1,
 ) -> jnp.ndarray:
     """Detectron-semantics RoIAlign as two MXU einsums.
 
@@ -152,6 +167,10 @@ def roi_align(
         sampling_ratio: samples per bin per axis; 0 = adaptive (Detectron).
         roi_chunk: rois processed per chunk to bound the (chunk, P, W, C)
             intermediate in HBM.
+        bin_stride: compute bins (0, s, 2s, ...) of a virtual
+            ``out_size * s`` grid — bit-identical to computing the full grid
+            and slicing ``[::s, ::s]``. Lets callers skip pooled cells that a
+            following strided 1x1 conv would discard.
 
     Returns:
         (R, P, P, C) pooled features, dtype of ``features``.
@@ -170,7 +189,8 @@ def roi_align(
     def one_chunk(args):
         rois_c, idx_c = args
         ay, ax = _roi_align_matrices(
-            rois_c, idx_c, n, h, w, p, p, spatial_scale, sampling_ratio
+            rois_c, idx_c, n, h, w, p, p, spatial_scale, sampling_ratio,
+            bin_stride,
         )
         ay = ay.astype(features.dtype)
         ax = ax.astype(features.dtype)
