@@ -133,3 +133,18 @@ def test_roi_pool_batch_index():
     got = np.asarray(roi_pool(feats, rois, idx, 3, 1 / 16))
     assert got[0].max() == 0.0
     assert got[1].min() == 9.0
+
+
+def test_roi_align_bin_stride_matches_sliced_full_grid():
+    """bin_stride=s must equal computing the full s*P grid and slicing
+    [::s, ::s] — the exactness the strided-res5 head optimization relies
+    on."""
+    feats, rois, idx = make_case(seed=5, r=6)
+    for s, out in [(2, 7), (7, 2)]:
+        full = np.asarray(
+            roi_align(feats, rois, idx, out * s, 1 / 16, 0)
+        )
+        sub = np.asarray(
+            roi_align(feats, rois, idx, out, 1 / 16, 0, bin_stride=s)
+        )
+        np.testing.assert_array_equal(full[:, ::s, ::s], sub)
