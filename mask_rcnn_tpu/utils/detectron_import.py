@@ -85,12 +85,18 @@ def import_detectron_pkl(path: str, n_fg_class: int = 80,
     conv1 = _conv(blobs["conv1_w"])  # (7, 7, 3, 64), BGR input order
     conv1 = conv1[:, :, ::-1, :].copy()  # BGR -> RGB
 
+    # The reference model keeps a conv1 bias (converter :48 copies conv1_b);
+    # our conv1 is bias-free, so fold it into the bn1 affine exactly:
+    # scale*(conv+b)+bias == scale*conv + (bias + scale*b).
+    bn1_scale = blobs["res_conv1_bn_s"].astype(np.float32)
+    bn1_bias = blobs["res_conv1_bn_b"].astype(np.float32)
+    conv1_b = blobs.get("conv1_b")
+    if conv1_b is not None:
+        bn1_bias = bn1_bias + bn1_scale * conv1_b.astype(np.float32)
+
     extractor = {
         "conv1": {"W": conv1},
-        "bn1": {
-            "scale": blobs["res_conv1_bn_s"].astype(np.float32),
-            "bias": blobs["res_conv1_bn_b"].astype(np.float32),
-        },
+        "bn1": {"scale": bn1_scale, "bias": bn1_bias},
         "res2": _import_stage(blobs, 2, blocks[0]),
         "res3": _import_stage(blobs, 3, blocks[1]),
         "res4": _import_stage(blobs, 4, blocks[2]),
@@ -183,9 +189,16 @@ def import_chainer_npz(path: str, n_layers: int = 50) -> Dict:
         }
 
     blocks = RESNET_N_BLOCKS[n_layers]
+    # Fold the snapshot's conv1 bias (extractor/conv1/b) into bn1, exactly
+    # (see import_detectron_pkl); our conv1 carries no bias parameter.
+    bn1 = affine("extractor/bn1")
+    if "extractor/conv1/b" in flat:
+        bn1["bias"] = bn1["bias"] + bn1["scale"] * flat[
+            "extractor/conv1/b"
+        ].astype(np.float32)
     extractor = {
         "conv1": {"W": conv("extractor/conv1/W")},
-        "bn1": affine("extractor/bn1"),
+        "bn1": bn1,
         "res2": stage("extractor/res2", blocks[0]),
         "res3": stage("extractor/res3", blocks[1]),
         "res4": stage("extractor/res4", blocks[2]),

@@ -2,9 +2,12 @@
 utils/evaluations/eval_instance_segmentation_voc.py:13-181 parity, without
 chainercv).
 
-Greedy per-image matching of score-sorted predictions to unmatched gts at
-mask IoU >= thresh, per-class precision/recall, then VOC AP — either the
-11-point 2007 metric or the continuous AUC metric.
+Per-image matching follows chainercv's selec logic exactly: each score-sorted
+prediction is assigned its argmax-IoU gt of the class (if IoU >= thresh); the
+prediction counts as a TP only if that specific gt is not already selected,
+otherwise as an FP. Difficult gts yield match=-1 (excluded from both TP and
+FP). Per-class precision/recall, then VOC AP — either the 11-point 2007
+metric or the continuous AUC metric.
 """
 
 from __future__ import annotations
@@ -52,6 +55,7 @@ def eval_instseg_voc(
     pred_scores,
     gt_masks,
     gt_labels,
+    gt_difficults=None,
     iou_thresh: float = 0.5,
     use_07_metric: bool = False,
 ) -> Dict:
@@ -60,32 +64,50 @@ def eval_instseg_voc(
     score: Dict[int, List[float]] = defaultdict(list)
     match: Dict[int, List[int]] = defaultdict(list)
 
-    for p_masks, p_labels, p_scores, g_masks, g_labels in zip(
-        pred_masks, pred_labels, pred_scores, gt_masks, gt_labels
+    if gt_difficults is None:
+        gt_difficults = [None] * len(gt_masks)
+
+    for p_masks, p_labels, p_scores, g_masks, g_labels, g_difficult in zip(
+        pred_masks, pred_labels, pred_scores, gt_masks, gt_labels, gt_difficults
     ):
         p_labels = np.asarray(p_labels)
+        p_scores = np.asarray(p_scores)
         g_labels = np.asarray(g_labels)
-        for lbl in np.unique(np.concatenate([p_labels, g_labels])):
+        if g_difficult is None:
+            g_difficult = np.zeros(len(g_labels), bool)
+        else:
+            g_difficult = np.asarray(g_difficult, bool)
+        for lbl in np.unique(np.concatenate([p_labels, g_labels]).astype(int)):
             pi = np.flatnonzero(p_labels == lbl)
             gi = np.flatnonzero(g_labels == lbl)
-            n_pos[lbl] += len(gi)
+            diff_l = g_difficult[gi]
+            n_pos[lbl] += int(np.logical_not(diff_l).sum())
+            order = np.argsort(-p_scores[pi], kind="stable")
+            pi = pi[order]
+            score[lbl].extend(p_scores[pi].tolist())
             if len(pi) == 0:
                 continue
-            order = np.argsort(-np.asarray(p_scores)[pi], kind="stable")
-            pi = pi[order]
-            taken = np.zeros(len(gi), bool)
-            for p in pi:
-                score[lbl].append(float(np.asarray(p_scores)[p]))
-                best, best_iou = -1, iou_thresh
-                for j, g in enumerate(gi):
-                    if taken[j]:
-                        continue
-                    iou = mask_iou(p_masks[p], g_masks[g])
-                    if iou >= best_iou:
-                        best, best_iou = j, iou
-                if best >= 0:
-                    taken[best] = True
-                    match[lbl].append(1)
+            if len(gi) == 0:
+                match[lbl].extend([0] * len(pi))
+                continue
+            # argmax-IoU assignment per prediction (chainercv selec logic):
+            # a TP requires the argmax gt itself to be unselected — a better-
+            # but-taken gt does NOT fall through to the next-best gt.
+            iou = np.array(
+                [[mask_iou(p_masks[p], g_masks[g]) for g in gi] for p in pi]
+            )
+            gt_index = iou.argmax(axis=1)
+            gt_index[iou.max(axis=1) < iou_thresh] = -1
+            selec = np.zeros(len(gi), bool)
+            for gt_idx in gt_index:
+                if gt_idx >= 0:
+                    if diff_l[gt_idx]:
+                        match[lbl].append(-1)
+                    elif not selec[gt_idx]:
+                        match[lbl].append(1)
+                    else:
+                        match[lbl].append(0)
+                    selec[gt_idx] = True
                 else:
                     match[lbl].append(0)
 
@@ -99,7 +121,8 @@ def eval_instseg_voc(
         m = m[order]
         tp = np.cumsum(m == 1)
         fp = np.cumsum(m == 0)
-        prec[lbl] = tp / np.maximum(tp + fp, 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            prec[lbl] = tp / (tp + fp)
         rec[lbl] = tp / n_pos[lbl] if n_pos[lbl] > 0 else None
 
     ap = calc_detection_voc_ap(prec, rec, use_07_metric)

@@ -105,6 +105,42 @@ def test_voc_eval_perfect_and_degraded():
     np.testing.assert_allclose(res2["ap"][1], 0.0)
 
 
+def test_voc_eval_argmax_gt_assignment():
+    """chainercv semantics (eval_instance_segmentation_voc.py): a prediction
+    is assigned its argmax-IoU gt; if that gt is already selected the
+    prediction is an FP even when a different untaken gt also clears the
+    IoU threshold."""
+    g1 = box_mask(48, 48, 0, 0, 32, 32)
+    g2 = box_mask(48, 48, 0, 8, 32, 40)  # heavy overlap with g1
+    gt_masks = [[g1, g2]]
+    gt_labels = [np.array([0, 0])]
+    # both predictions argmax to g1 (p2 overlaps g1 slightly more than g2)
+    p1 = g1
+    p2 = box_mask(48, 48, 0, 2, 32, 34)
+    res = eval_instseg_voc(
+        [[p1, p2]], gt_labels, [np.array([0.9, 0.8])], gt_masks, gt_labels
+    )
+    # p1 TP on g1; p2's argmax gt is g1 (taken) -> FP, even though
+    # IoU(p2, g2) >= 0.5. prec = [1, 1/2], rec = [1/2, 1/2] -> AP = 0.5
+    np.testing.assert_allclose(res["ap"][0], 0.5)
+
+
+def test_voc_eval_difficult_gt_ignored():
+    """Difficult gts: matched predictions are neither TP nor FP, and the
+    difficult gt doesn't count toward n_pos."""
+    g1 = box_mask(48, 48, 0, 0, 20, 20)
+    g2 = box_mask(48, 48, 24, 24, 44, 44)
+    gt_masks = [[g1, g2]]
+    gt_labels = [np.array([0, 0])]
+    res = eval_instseg_voc(
+        [[g1, g2]], gt_labels, [np.array([0.9, 0.8])], gt_masks, gt_labels,
+        gt_difficults=[np.array([False, True])],
+    )
+    # g2 is difficult: its perfect prediction is ignored; g1's is a TP over
+    # n_pos=1 -> AP = 1.0
+    np.testing.assert_allclose(res["ap"][0], 1.0)
+
+
 def test_coco_bbox_mode():
     ev = COCOEvaluation("bbox")
     gt_b = np.array([[5.0, 5.0, 40.0, 40.0]], np.float64)

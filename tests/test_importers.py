@@ -49,6 +49,7 @@ def _fake_detectron_blobs(n_fg=3, n_anchor=2):
         blobs[name + "_bn_b"] = rng.randn(c).astype(np.float32)
 
     conv("conv1", 64, 3, 7)
+    blobs["conv1_b"] = rng.randn(64).astype(np.float32)
     bn("res_conv1", 64)
     chans = {2: (64, 64, 256), 3: (256, 128, 512), 4: (512, 256, 1024),
              5: (1024, 512, 2048)}
@@ -110,6 +111,13 @@ def test_detectron_import_schema(tmp_path):
     got = params["extractor"]["conv1"]["W"]  # HWIO
     want = np.transpose(blobs["conv1_w"], (2, 3, 1, 0))[:, :, ::-1, :]
     np.testing.assert_array_equal(got, want)
+
+    # conv1 bias folded into bn1: bias' = bias + scale * conv1_b
+    np.testing.assert_allclose(
+        params["extractor"]["bn1"]["bias"],
+        blobs["res_conv1_bn_b"] + blobs["res_conv1_bn_s"] * blobs["conv1_b"],
+        rtol=1e-6,
+    )
 
     # loc reorder: (x,y,w,h) -> (y,x,h,w) per anchor group
     got_b = params["rpn"]["loc"]["b"]
@@ -178,3 +186,16 @@ def test_chainer_import_roundtrip(tmp_path):
     assert set(got) == set(want)
     for k in want:
         np.testing.assert_allclose(got[k], np.asarray(want[k]), rtol=1e-6)
+
+    # a snapshot carrying a conv1 bias (the reference model always does,
+    # extractor/conv1/b) gets it folded into bn1 exactly
+    conv1_b = np.random.RandomState(1).randn(64).astype(np.float32)
+    flat["extractor/conv1/b"] = conv1_b
+    path2 = str(tmp_path / "snapshot_model_b.npz")
+    np.savez(path2, **flat)
+    loaded2 = import_chainer_npz(path2)
+    np.testing.assert_allclose(
+        loaded2["extractor"]["bn1"]["bias"],
+        flat["extractor/bn1/b"] + flat["extractor/bn1/W"] * conv1_b,
+        rtol=1e-6,
+    )
