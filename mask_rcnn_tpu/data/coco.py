@@ -24,15 +24,21 @@ from mask_rcnn_tpu.utils.geometry import mask_to_bbox
 
 def polygons_to_mask(polygons: List[List[float]], h: int, w: int
                      ) -> np.ndarray:
-    mask = np.zeros((h, w), np.uint8)
-    pts = [
-        np.asarray(p, np.float64).reshape(-1, 2).round().astype(np.int32)
-        for p in polygons
-        if len(p) >= 6
-    ]
-    if pts:
-        cv2.fillPoly(mask, pts, 1)
-    return mask
+    """Rasterize COCO polygons exactly like the reference pipeline
+    (datasets/coco.py:137-143): PIL ImageDraw.polygon(outline=1, fill=1)
+    per polygon onto one shared canvas. PIL's boundary-pixel semantics
+    differ from cv2.fillPoly; gt-mask parity requires matching them."""
+    import PIL.Image
+    import PIL.ImageDraw
+
+    canvas = PIL.Image.fromarray(np.zeros((h, w), np.uint8))
+    draw = PIL.ImageDraw.Draw(canvas)
+    for p in polygons:
+        xy = np.asarray(p, np.float64).reshape(-1, 2)
+        if len(xy) < 3:
+            continue
+        draw.polygon([tuple(pt) for pt in xy], outline=1, fill=1)
+    return np.asarray(canvas)
 
 
 def segmentation_to_mask(segm, h: int, w: int) -> np.ndarray:

@@ -17,11 +17,15 @@ extern "C" {
 // ious:        (D, G) row-major, dets sorted by descending score, gts sorted
 //              ignored-last.
 // gt_ignore:   (G,) 0/1 after area-range marking.
+// gt_crowd:    (G,) 0/1 crowd flags — only crowd gts may be matched by more
+//              than one det (pycocotools: `gtm>0 and not iscrowd -> continue`);
+//              area-ignored non-crowd gts are single-match like regular gts.
 // det_ignore:  (D,) 0/1 det-outside-area-range flags.
 // thresholds:  (T,) IoU thresholds.
 // dtm (T, D):  matched gt index or -1 (output).
 // dt_ig (T, D): det-ignored flags (output).
 void coco_match_image(const double* ious, const uint8_t* gt_ignore,
+                      const uint8_t* gt_crowd,
                       const uint8_t* det_ignore, const double* thresholds,
                       int64_t d, int64_t g, int64_t t,
                       int64_t* dtm, uint8_t* dt_ig) {
@@ -42,7 +46,7 @@ void coco_match_image(const double* ious, const uint8_t* gt_ignore,
       int64_t m = -1;
       const double* iou_row = ious + di * g;
       for (int64_t gi = 0; gi < g; ++gi) {
-        if (gtm[gi] >= 0 && !gt_ignore[gi]) continue;
+        if (gtm[gi] >= 0 && !gt_crowd[gi]) continue;
         // gts sorted ignored-last: stop once we have an unignored match and
         // the remaining gts are ignored
         if (m > -1 && !gt_ignore[m] && gt_ignore[gi]) break;

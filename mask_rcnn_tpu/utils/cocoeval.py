@@ -84,6 +84,7 @@ def _match_image(
     ious: np.ndarray,
     det_scores: np.ndarray,
     gt_ignore: np.ndarray,
+    gt_crowd: np.ndarray,
     det_ignore_area: np.ndarray,
     iou_threshs: np.ndarray,
 ):
@@ -93,6 +94,9 @@ def _match_image(
         ious: (D, G) with dets already sorted by descending score and gts
             sorted ignored-last.
         gt_ignore: (G,) after area-range marking.
+        gt_crowd: (G,) crowd flags — only crowd gts may be rematched
+            (pycocotools: ``gtm>0 and not iscrowd -> continue``); an
+            area-ignored non-crowd gt absorbs at most one det.
         det_ignore_area: (D,) det outside area range.
 
     Returns (dtm (T, D) matched flag, dt_ig (T, D)).
@@ -100,7 +104,7 @@ def _match_image(
     from mask_rcnn_tpu.utils import native
 
     fast = native.coco_match_image(
-        ious, gt_ignore, det_ignore_area, iou_threshs
+        ious, gt_ignore, gt_crowd, det_ignore_area, iou_threshs
     )
     if fast is not None:
         return fast
@@ -115,7 +119,7 @@ def _match_image(
             best_iou = min(t, 1 - 1e-10)
             m = -1
             for gi in range(g_n):
-                if gtm[ti, gi] >= 0 and not gt_ignore[gi]:
+                if gtm[ti, gi] >= 0 and not gt_crowd[gi]:
                     continue
                 # gts are sorted ignored-last: stop if we already have an
                 # unignored match and remaining gts are ignored
@@ -253,9 +257,11 @@ class COCOEvaluation:
                     gt_order = np.argsort(gt_ig, kind="stable")
                     ious_s = ious[:, gt_order]
                     gt_ig_s = gt_ig[gt_order]
+                    gt_crowd_s = r["gt_crowds"][gt_order]
                     det_out = (det_areas < lo) | (det_areas > hi)
                     dtm, dt_ig = _match_image(
-                        ious_s, scores, gt_ig_s, det_out, IOU_THRESHS
+                        ious_s, scores, gt_ig_s, gt_crowd_s, det_out,
+                        IOU_THRESHS,
                     )
                     per_img.append(
                         {

@@ -56,6 +56,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
                     ctypes.POINTER(ctypes.c_double),
                     ctypes.POINTER(ctypes.c_uint8),
                     ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_uint8),
                     ctypes.POINTER(ctypes.c_double),
                     c_i64, c_i64, c_i64,
                     ctypes.POINTER(c_i64),
@@ -82,6 +83,7 @@ def _ptr(a, ctype):
 
 
 def coco_match_image(ious: np.ndarray, gt_ignore: np.ndarray,
+                     gt_crowd: np.ndarray,
                      det_ignore: np.ndarray, thresholds: np.ndarray):
     """Native greedy matcher; returns (dtm (T, D) int64, dt_ig (T, D) bool).
     Returns None if the native lib is unavailable."""
@@ -92,12 +94,14 @@ def coco_match_image(ious: np.ndarray, gt_ignore: np.ndarray,
     t = len(thresholds)
     ious = np.ascontiguousarray(ious, np.float64)
     gt_ig = np.ascontiguousarray(gt_ignore, np.uint8)
+    gt_cr = np.ascontiguousarray(gt_crowd, np.uint8)
     det_ig = np.ascontiguousarray(det_ignore, np.uint8)
     thr = np.ascontiguousarray(thresholds, np.float64)
     dtm = np.empty((t, d), np.int64)
     dt_ig = np.zeros((t, d), np.uint8)
     lib.coco_match_image(
         _ptr(ious, ctypes.c_double), _ptr(gt_ig, ctypes.c_uint8),
+        _ptr(gt_cr, ctypes.c_uint8),
         _ptr(det_ig, ctypes.c_uint8), _ptr(thr, ctypes.c_double),
         d, g, t, _ptr(dtm, ctypes.c_int64), _ptr(dt_ig, ctypes.c_uint8),
     )

@@ -77,8 +77,31 @@ def mini_coco(tmp_path_factory):
 def test_polygon_rasterization():
     mask = polygons_to_mask([[2, 3, 10, 3, 10, 12, 2, 12]], 20, 20)
     assert mask[5, 5] == 1 and mask[0, 0] == 0
-    # area close to the rectangle (cv2 fills inclusive edges)
+    # area close to the rectangle (inclusive edges)
     assert 70 <= mask.sum() <= 100
+
+
+def test_polygon_rasterization_pil_parity():
+    """Boundary-pixel semantics must match the reference pipeline
+    (datasets/coco.py:137-143): per-polygon PIL ImageDraw.polygon with
+    outline=1, fill=1 — bit-exact, including sub-pixel vertices and
+    overlapping polygons."""
+    import PIL.Image
+    import PIL.ImageDraw
+
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        polys = [
+            (rng.rand(rng.randint(3, 8) * 2) * 28.0).tolist()
+            for _ in range(rng.randint(1, 4))
+        ]
+        want_img = PIL.Image.fromarray(np.zeros((30, 32), np.uint8))
+        for seg in polys:
+            xy = [tuple(p) for p in np.array(seg).reshape(-1, 2)]
+            PIL.ImageDraw.Draw(want_img).polygon(xy=xy, outline=1, fill=1)
+        np.testing.assert_array_equal(
+            polygons_to_mask(polys, 30, 32), np.asarray(want_img)
+        )
 
 
 def test_rle_segmentation_decode():

@@ -105,6 +105,34 @@ def test_voc_eval_perfect_and_degraded():
     np.testing.assert_allclose(res2["ap"][1], 0.0)
 
 
+def test_coco_match_ignored_noncrowd_gt_single_match():
+    """pycocotools rematch rule: only crowd gts may absorb multiple dets.
+    An area-ignored NON-crowd gt matches at most one det; a second det
+    stays unmatched (and becomes an FP if itself in-range)."""
+    from mask_rcnn_tpu.utils.cocoeval import _match_image
+
+    ious = np.array([[0.9], [0.8]])  # two dets both overlap the one gt
+    threshs = np.array([0.5])
+    gt_ignore = np.array([True])
+    det_in_range = np.zeros(2, bool)
+
+    # non-crowd ignored gt: det0 matches (ignored), det1 unmatched -> FP
+    dtm, dt_ig = _match_image(
+        ious, np.array([0.9, 0.8]), gt_ignore, np.array([False]),
+        det_in_range, threshs,
+    )
+    assert dtm[0, 0] == 0 and dt_ig[0, 0]
+    assert dtm[0, 1] == -1 and not dt_ig[0, 1]
+
+    # crowd gt: both dets match it and are ignored
+    dtm, dt_ig = _match_image(
+        ious, np.array([0.9, 0.8]), gt_ignore, np.array([True]),
+        det_in_range, threshs,
+    )
+    assert dtm[0, 0] == 0 and dt_ig[0, 0]
+    assert dtm[0, 1] == 0 and dt_ig[0, 1]
+
+
 def test_voc_eval_argmax_gt_assignment():
     """chainercv semantics (eval_instance_segmentation_voc.py): a prediction
     is assigned its argmax-IoU gt; if that gt is already selected the

@@ -12,7 +12,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _py_match(ious, gt_ignore, det_ignore, threshs):
+def _py_match(ious, gt_ignore, gt_crowd, det_ignore, threshs):
     t_n = len(threshs)
     d_n, g_n = ious.shape
     gtm = -np.ones((t_n, g_n), np.int64)
@@ -23,7 +23,7 @@ def _py_match(ious, gt_ignore, det_ignore, threshs):
             best = min(t, 1 - 1e-10)
             m = -1
             for gi in range(g_n):
-                if gtm[ti, gi] >= 0 and not gt_ignore[gi]:
+                if gtm[ti, gi] >= 0 and not gt_crowd[gi]:
                     continue
                 if m > -1 and not gt_ignore[m] and gt_ignore[gi]:
                     break
@@ -45,17 +45,20 @@ def test_match_image_native_matches_python(seed):
     rng = np.random.RandomState(seed)
     d, g = 20, 7
     ious = rng.rand(d, g)
-    gt_ignore = rng.rand(g) < 0.3
+    gt_crowd = rng.rand(g) < 0.25
+    # ignore = crowd | area-ignored, as the caller computes it
+    gt_ignore = gt_crowd | (rng.rand(g) < 0.3)
     # sort ignored-last, as the caller does
     order = np.argsort(gt_ignore, kind="stable")
     ious = ious[:, order]
     gt_ignore = gt_ignore[order]
+    gt_crowd = gt_crowd[order]
     det_ignore = rng.rand(d) < 0.2
 
     got = native.coco_match_image(
-        ious, gt_ignore, det_ignore, IOU_THRESHS
+        ious, gt_ignore, gt_crowd, det_ignore, IOU_THRESHS
     )
-    want = _py_match(ious, gt_ignore, det_ignore, IOU_THRESHS)
+    want = _py_match(ious, gt_ignore, gt_crowd, det_ignore, IOU_THRESHS)
     np.testing.assert_array_equal(got[0], want[0])
     np.testing.assert_array_equal(got[1], want[1])
 
