@@ -34,7 +34,14 @@ def parse_args(dataset_defaults: dict):
     parser.add_argument("--roi-size", type=int, default=14)
     parser.add_argument(
         "--initializer", choices=("normal", "he_normal"),
-        default="he_normal",
+        default="normal",
+        help="mask-branch initializer (reference train_common.py:146-156)",
+    )
+    parser.add_argument(
+        "--pretrained-model", default=None,
+        help="'auto' / 'auto:<imagenet npz>' / '<detectron>.pkl' / "
+        "snapshot npz (reference default is 'auto'; needs the ImageNet "
+        "npz on disk in this egress-less environment)",
     )
     parser.add_argument(
         "--max-epoch", type=float,
@@ -146,11 +153,15 @@ def train(args, train_data, test_data, class_names, dataset_kind,
         resume_from=args.resume,
         checkpoint_interval_steps=args.checkpoint_interval,
         clip_norm=args.clip_norm,
+        initializer=args.initializer,
+        pretrained_model=args.pretrained_model,
         extra_params={
             "dataset": dataset_kind,
             "model": args.model,
             "pooling_func": args.pooling_func,
             "roi_size": args.roi_size,
+            "initializer": args.initializer,
+            "pretrained_model": args.pretrained_model,
         },
     )
     print(result)

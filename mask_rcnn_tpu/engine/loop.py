@@ -63,6 +63,8 @@ def train(
     resume_from: Optional[str] = None,
     checkpoint_interval_steps: Optional[int] = None,
     clip_norm: Optional[float] = None,
+    initializer: str = "normal",
+    pretrained_model: Optional[str] = None,
 ) -> Dict:
     """Run the full training schedule; returns the final report."""
     # Mesh sized from the loader's batch: batch must shard evenly over the
@@ -82,7 +84,13 @@ def train(
     steps_per_epoch = train_loader.steps_per_epoch()
     total_steps = int(max_epoch * steps_per_epoch)
 
-    params = init_params(jax.random.PRNGKey(seed), cfg)
+    params = init_params(
+        jax.random.PRNGKey(seed), cfg, initializer=initializer
+    )
+    if pretrained_model:
+        from mask_rcnn_tpu.models.api import resolve_pretrained_params
+
+        params = resolve_pretrained_params(pretrained_model, params, cfg)
     optimizer, schedule = make_optimizer(params, base_lr, total_steps,
                                          clip_norm=clip_norm)
     state = create_train_state(params, optimizer)

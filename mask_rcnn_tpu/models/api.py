@@ -31,6 +31,59 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def find_imagenet_npz(n_layers: int) -> str:
+    """Locate the chainer ImageNet ResNet npz the reference auto-downloads
+    (resnet_extractor.py:104-107). Search order: $MASK_RCNN_TPU_IMAGENET_NPZ,
+    the chainer dataset cache, ~/data/models. No egress here, so a miss is
+    an actionable error instead of a download."""
+    import os
+    import os.path as osp
+
+    from mask_rcnn_tpu.utils.detectron_import import IMAGENET_NPZ_SOURCES
+
+    url, md5, fname = IMAGENET_NPZ_SOURCES[n_layers]
+    env = os.environ.get("MASK_RCNN_TPU_IMAGENET_NPZ")
+    candidates = [env] if env else []
+    candidates += [
+        osp.expanduser(f"~/.chainer/dataset/pfnet/chainer/models/{fname}"),
+        osp.expanduser(f"~/data/models/{fname}"),
+    ]
+    for c in candidates:
+        if c and osp.exists(c):
+            return c
+    raise FileNotFoundError(
+        f"ImageNet ResNet-{n_layers} weights not found (searched "
+        f"{candidates}). Fetch {url} (md5 {md5}) and place it at one of "
+        "those paths or set MASK_RCNN_TPU_IMAGENET_NPZ."
+    )
+
+
+def resolve_pretrained_params(spec: str, like, config: "MaskRCNNConfig"):
+    """Reference ``pretrained_model`` surface: 'auto' (ImageNet backbone,
+    mask_rcnn_resnet.py:69-72), 'auto:<npz>' / 'imagenet:<npz>' (explicit
+    ImageNet npz), '<model>.pkl' (Detectron blobs), or a snapshot npz saved
+    by this framework."""
+    from mask_rcnn_tpu.utils.detectron_import import (
+        import_detectron_pkl,
+        import_imagenet_npz,
+    )
+
+    if spec == "auto" or spec.startswith(("auto:", "imagenet:")):
+        path = (
+            spec.split(":", 1)[1]
+            if ":" in spec
+            else find_imagenet_npz(config.n_layers)
+        )
+        return import_imagenet_npz(path, like, config.n_layers)
+    if spec.endswith(".pkl"):
+        return import_detectron_pkl(
+            spec, n_fg_class=config.n_fg_class, n_layers=config.n_layers
+        )
+    from mask_rcnn_tpu.utils.checkpoint import load_params
+
+    return load_params(spec, like)
+
+
 class MaskRCNNResNet:
     """Mask R-CNN R-50/101-C4 with the reference's constructor surface.
 
@@ -80,9 +133,9 @@ class MaskRCNNResNet:
             jax.random.PRNGKey(rng_seed), self.config
         )
         if pretrained_model:
-            from mask_rcnn_tpu.utils.checkpoint import load_params
-
-            self.params = load_params(pretrained_model, self.params)
+            self.params = resolve_pretrained_params(
+                pretrained_model, self.params, self.config
+            )
         self.score_thresh = 0.05
         self._jitted = {}
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mask_rcnn_tpu.models.resnet import (
     init_res5,
@@ -96,11 +97,25 @@ def head_forward(
     return out
 
 
-def init_head(key, n_class, n_layers=50, loc_std=0.001, std=0.01):
+def init_head(key, n_class, n_layers=50, loc_std=0.001, std=0.01,
+              initializer="normal"):
     """Initializers match the reference (mask_rcnn_resnet.py:57-64):
-    Normal(0.001) for cls_loc, Normal(0.01) for score/mask/deconv."""
+    Normal(0.001) for cls_loc, Normal(0.01) for score, and for the mask
+    branch (deconv6 + mask) the ``--initializer`` choice
+    (train_common.py:146-156): 'normal' -> Normal(0.01), 'he_normal' ->
+    HeNormal(fan_option='fan_out') with chainer's fan convention
+    (fan_out = W.shape[0] * prod(kernel) in chainer layout)."""
     ks = jax.random.split(key, 5)
     n_fg = n_class - 1
+    if initializer == "he_normal":
+        # chainer layouts: deconv6 W (2048, 256, 2, 2), mask W (n_fg, 256,
+        # 1, 1) -> fans 2048*4 and n_fg*1.
+        deconv_std = float(np.sqrt(2.0 / (2048 * 2 * 2)))
+        mask_std = float(np.sqrt(2.0 / n_fg))
+    elif initializer == "normal":
+        deconv_std = mask_std = std
+    else:
+        raise ValueError(f"unsupported initializer: {initializer}")
     return {
         "res5": init_res5(ks[0], n_layers),
         "cls_loc": {
@@ -115,12 +130,12 @@ def init_head(key, n_class, n_layers=50, loc_std=0.001, std=0.01):
         },
         "deconv6": {
             "W": jax.random.normal(ks[3], (2, 2, 2048, 256), jnp.float32)
-            * std,
+            * deconv_std,
             "b": jnp.zeros((256,), jnp.float32),
         },
         "mask": {
             "W": jax.random.normal(ks[4], (1, 1, 256, n_fg), jnp.float32)
-            * std,
+            * mask_std,
             "b": jnp.zeros((n_fg,), jnp.float32),
         },
     }

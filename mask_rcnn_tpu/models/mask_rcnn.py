@@ -74,14 +74,20 @@ class MaskRCNNConfig:
         return len(self.ratios) * len(self.anchor_scales)
 
 
-def init_params(key, cfg: MaskRCNNConfig, initializer="he_normal"):
+def init_params(key, cfg: MaskRCNNConfig, initializer="normal"):
+    """``initializer`` selects the mask-branch init like the reference's
+    --initializer flag (train_common.py:146-156); the backbone always uses
+    he_normal from-scratch init (it is overwritten by pretrained weights
+    in the reference recipe)."""
     k1, k2, k3 = jax.random.split(key, 3)
     return {
-        "extractor": resnet.init_extractor(k1, cfg.n_layers, initializer),
+        "extractor": resnet.init_extractor(k1, cfg.n_layers),
         "rpn": rpn.init_rpn(
             k2, 1024, cfg.rpn_hidden, cfg.n_anchor, std=0.01
         ),
-        "head": heads.init_head(k3, cfg.n_class, cfg.n_layers),
+        "head": heads.init_head(
+            k3, cfg.n_class, cfg.n_layers, initializer=initializer
+        ),
     }
 
 

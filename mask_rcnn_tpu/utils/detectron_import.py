@@ -12,6 +12,13 @@ plus this framework's layout changes: conv OIHW->HWIO, linear (out,in)->
 
 ``import_chainer_npz``: a reference ``snapshot_model.npz`` -> our tree
 (pure layout transposes; coordinates are already y-first).
+
+``import_imagenet_npz``: a chainer ``ResNet50Layers``/``ResNet101Layers``
+ImageNet-classification npz -> backbone + head initialization, replicating
+``pretrained_model='auto'`` (reference resnet_extractor.py:95-124 +
+mask_rcnn_resnet.py:152-166): BGR->RGB conv1 flip, BN folded to affine,
+res5 copied into the RoI head; RPN and box/mask branches keep their
+freshly-initialized values.
 """
 
 from __future__ import annotations
@@ -150,6 +157,90 @@ def import_detectron_pkl(path: str, n_fg_class: int = 80,
         },
     }
     return {"extractor": extractor, "rpn": rpn, "head": head}
+
+
+IMAGENET_NPZ_SOURCES = {
+    # Google Drive ids + md5s the reference auto-downloads
+    # (resnet_extractor.py:104-107, 121-124).
+    50: ("https://drive.google.com/uc?id="
+         "1hSGnWZX_kjEWlfvi0fCHc8sczHio0i-t",
+         "841b996a74049800cf0749ac97ab7eba",
+         "ResNet-50-model.npz"),
+    101: ("https://drive.google.com/uc?id="
+          "1c-wtuSDWmBCUTfNKLrQAIjrBMNMW4b7q",
+          "2220786332e361fd7f956d9bf2f9d328",
+          "ResNet-101-model.npz"),
+}
+
+
+def import_imagenet_npz(path: str, like: Dict, n_layers: int = 50) -> Dict:
+    """chainer ``ResNet{50,101}Layers`` ImageNet npz -> full param tree.
+
+    The npz schema is chainer's caffe-converted classification ResNet:
+    ``conv1/W``, ``conv1/b``, ``bn1/{gamma,beta,avg_mean,avg_var}``,
+    ``res2/a/conv1/W``, ``res2/a/bn1/...`` ... ``res5/b2/...`` (+ ``fc6``,
+    unused). Replicates the reference 'auto' path exactly:
+
+      * conv1 weights are caffe-BGR; flipped to RGB
+        (resnet_extractor.py:53-56);
+      * every BatchNorm folds into a frozen affine with eps=1e-5
+        (``_get_affine_from_bn``, resnet_extractor.py:16-29);
+      * conv1's bias (our conv1 is bias-free) folds into bn1's affine;
+      * res5 is copied into the RoI head (``_copy_persistent_chain``,
+        mask_rcnn_resnet.py:152-166);
+      * rpn / cls_loc / score / deconv6 / mask keep their values from
+        ``like`` (the initializer-created tree).
+    """
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+
+    def conv(key):
+        return np.ascontiguousarray(
+            np.transpose(flat[key], (2, 3, 1, 0))
+        ).astype(np.float32)
+
+    def affine_from_bn(key):
+        # float32 throughout, matching the reference's on-device fold
+        gamma = flat[f"{key}/gamma"].astype(np.float32)
+        beta = flat[f"{key}/beta"].astype(np.float32)
+        mean = flat[f"{key}/avg_mean"].astype(np.float32)
+        var = flat[f"{key}/avg_var"].astype(np.float32)
+        scale = gamma / np.sqrt(var + np.float32(1e-5))
+        return {"scale": scale, "bias": beta - mean * scale}
+
+    def bottleneck(prefix, has_proj):
+        p = {}
+        for i in (1, 2, 3):
+            p[f"conv{i}"] = {"W": conv(f"{prefix}/conv{i}/W")}
+            p[f"bn{i}"] = affine_from_bn(f"{prefix}/bn{i}")
+        if has_proj:
+            p["conv4"] = {"W": conv(f"{prefix}/conv4/W")}
+            p["bn4"] = affine_from_bn(f"{prefix}/bn4")
+        return p
+
+    def stage(prefix, n_blocks):
+        return {
+            name: bottleneck(f"{prefix}/{name}", name == "a")
+            for name in _block_names(n_blocks)
+        }
+
+    blocks = RESNET_N_BLOCKS[n_layers]
+    conv1 = conv("conv1/W")[:, :, ::-1, :].copy()  # BGR -> RGB
+    bn1 = affine_from_bn("bn1")
+    if "conv1/b" in flat:
+        bn1["bias"] = bn1["bias"] + bn1["scale"] * flat["conv1/b"].astype(
+            np.float32
+        )
+    extractor = {
+        "conv1": {"W": conv1},
+        "bn1": bn1,
+        "res2": stage("res2", blocks[0]),
+        "res3": stage("res3", blocks[1]),
+        "res4": stage("res4", blocks[2]),
+    }
+    head = dict(like["head"])
+    head["res5"] = stage("res5", blocks[3])
+    return {"extractor": extractor, "rpn": like["rpn"], "head": head}
 
 
 def import_chainer_npz(path: str, n_layers: int = 50) -> Dict:

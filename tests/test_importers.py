@@ -131,6 +131,143 @@ def test_detectron_import_schema(tmp_path):
     )
 
 
+def _fake_imagenet_npz(tmp_path, n_layers=50, with_conv1_b=True):
+    """Synthetic chainer ResNet{50,101}Layers classification npz."""
+    rng = np.random.RandomState(42)
+    flat = {}
+
+    def conv(key, o, i, k):
+        flat[key + "/W"] = rng.randn(o, i, k, k).astype(np.float32)
+
+    def bn(key, c):
+        flat[key + "/gamma"] = rng.rand(c).astype(np.float32) + 0.5
+        flat[key + "/beta"] = rng.randn(c).astype(np.float32)
+        flat[key + "/avg_mean"] = rng.randn(c).astype(np.float32)
+        flat[key + "/avg_var"] = rng.rand(c).astype(np.float32) + 0.1
+
+    conv("conv1", 64, 3, 7)
+    if with_conv1_b:
+        flat["conv1/b"] = rng.randn(64).astype(np.float32)
+    bn("bn1", 64)
+    chans = {"res2": (64, 64, 256), "res3": (256, 128, 512),
+             "res4": (512, 256, 1024), "res5": (1024, 512, 2048)}
+    n_blocks = dict(zip(chans, RESNET_N_BLOCKS[n_layers]))
+    for stage, (cin, mid, cout) in chans.items():
+        names = ["a"] + [f"b{i}" for i in range(1, n_blocks[stage])]
+        for bi, nm in enumerate(names):
+            pre = f"{stage}/{nm}"
+            icin = cin if bi == 0 else cout
+            conv(pre + "/conv1", mid, icin, 1)
+            bn(pre + "/bn1", mid)
+            conv(pre + "/conv2", mid, mid, 3)
+            bn(pre + "/bn2", mid)
+            conv(pre + "/conv3", cout, mid, 1)
+            bn(pre + "/bn3", cout)
+            if bi == 0:
+                conv(pre + "/conv4", cout, icin, 1)
+                bn(pre + "/bn4", cout)
+    flat["fc6/W"] = rng.randn(1000, 2048).astype(np.float32)
+    flat["fc6/b"] = rng.randn(1000).astype(np.float32)
+    path = str(tmp_path / f"ResNet-{n_layers}-model.npz")
+    np.savez(path, **flat)
+    return path, flat
+
+
+def test_imagenet_import(tmp_path):
+    """'auto' semantics: BGR flip, BN fold (eps 1e-5), conv1-bias fold,
+    res5 copied into the head, rpn/branches untouched."""
+    from mask_rcnn_tpu.utils.detectron_import import import_imagenet_npz
+
+    path, flat = _fake_imagenet_npz(tmp_path)
+    cfg = MaskRCNNConfig(n_fg_class=4, anchor_scales=(8.0,))
+    like = init_params(jax.random.PRNGKey(3), cfg)
+    params = import_imagenet_npz(path, like, n_layers=50)
+
+    # schema identical to init
+    assert set(flatten_params(params)) == set(flatten_params(like))
+    for k, v in flatten_params(params).items():
+        assert flatten_params(like)[k].shape == v.shape, k
+
+    # conv1 BGR->RGB flip
+    want = np.transpose(flat["conv1/W"], (2, 3, 1, 0))[:, :, ::-1, :]
+    np.testing.assert_array_equal(params["extractor"]["conv1"]["W"], want)
+
+    # BN fold with eps=1e-5 (+ conv1 bias folded into bn1)
+    scale = flat["bn1/gamma"] / np.sqrt(flat["bn1/avg_var"] + 1e-5)
+    bias = flat["bn1/beta"] - flat["bn1/avg_mean"] * scale
+    np.testing.assert_allclose(
+        params["extractor"]["bn1"]["scale"], scale, rtol=1e-6)
+    np.testing.assert_allclose(
+        params["extractor"]["bn1"]["bias"],
+        bias + scale * flat["conv1/b"], rtol=1e-5)
+
+    # a mid-stage BN fold
+    s3 = flat["res3/b1/bn2/gamma"] / np.sqrt(
+        flat["res3/b1/bn2/avg_var"] + 1e-5)
+    np.testing.assert_allclose(
+        params["extractor"]["res3"]["b1"]["bn2"]["scale"], s3, rtol=1e-6)
+
+    # res5 copied into the head from the classification net
+    np.testing.assert_array_equal(
+        params["head"]["res5"]["a"]["conv1"]["W"],
+        np.transpose(flat["res5/a/conv1/W"], (2, 3, 1, 0)),
+    )
+
+    # rpn + box/mask branches keep the initializer values
+    np.testing.assert_array_equal(
+        np.asarray(params["rpn"]["conv1"]["W"]),
+        np.asarray(like["rpn"]["conv1"]["W"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(params["head"]["mask"]["W"]),
+        np.asarray(like["head"]["mask"]["W"]),
+    )
+
+
+def test_pretrained_model_auto_spec(tmp_path, monkeypatch):
+    """MaskRCNNResNet(pretrained_model='auto') resolves via the env var;
+    'auto:<path>' takes the explicit path."""
+    from mask_rcnn_tpu.models.api import resolve_pretrained_params
+
+    path, flat = _fake_imagenet_npz(tmp_path)
+    cfg = MaskRCNNConfig(n_fg_class=2, anchor_scales=(8.0,))
+    like = init_params(jax.random.PRNGKey(0), cfg)
+
+    got = resolve_pretrained_params(f"auto:{path}", like, cfg)
+    want = np.transpose(flat["conv1/W"], (2, 3, 1, 0))[:, :, ::-1, :]
+    np.testing.assert_array_equal(got["extractor"]["conv1"]["W"], want)
+
+    monkeypatch.setenv("MASK_RCNN_TPU_IMAGENET_NPZ", path)
+    got2 = resolve_pretrained_params("auto", like, cfg)
+    np.testing.assert_array_equal(got2["extractor"]["conv1"]["W"], want)
+
+    monkeypatch.delenv("MASK_RCNN_TPU_IMAGENET_NPZ")
+    monkeypatch.setenv("HOME", str(tmp_path / "nohome"))
+    with pytest.raises(FileNotFoundError):
+        resolve_pretrained_params("auto", like, cfg)
+
+
+def test_initializer_flag_changes_mask_branch():
+    """he_normal switches deconv6/mask stddev (chainer HeNormal fan_out);
+    everything else is untouched (reference train_common.py:146-156)."""
+    cfg = MaskRCNNConfig(n_fg_class=8, anchor_scales=(8.0,))
+    pn = init_params(jax.random.PRNGKey(0), cfg, initializer="normal")
+    ph = init_params(jax.random.PRNGKey(0), cfg, initializer="he_normal")
+    # same gaussian draw, different scale: ratio of stds is exact
+    wn = np.asarray(pn["head"]["deconv6"]["W"])
+    wh = np.asarray(ph["head"]["deconv6"]["W"])
+    np.testing.assert_allclose(
+        wh, wn / 0.01 * np.sqrt(2.0 / 8192), rtol=1e-6)
+    mn = np.asarray(pn["head"]["mask"]["W"])
+    mh = np.asarray(ph["head"]["mask"]["W"])
+    np.testing.assert_allclose(mh, mn / 0.01 * np.sqrt(2.0 / 8), rtol=1e-6)
+    # score/cls_loc identical
+    np.testing.assert_array_equal(
+        np.asarray(pn["head"]["score"]["W"]),
+        np.asarray(ph["head"]["score"]["W"]),
+    )
+
+
 def test_chainer_import_roundtrip(tmp_path):
     """Export our params in chainer layout, re-import, verify identity."""
     from mask_rcnn_tpu.utils.detectron_import import import_chainer_npz
