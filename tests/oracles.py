@@ -69,6 +69,41 @@ def roi_align_np(features, rois, roi_indices, out_size, spatial_scale,
     return out
 
 
+def roi_pool_np(features, rois, roi_indices, out_size, spatial_scale):
+    """Scalar-loop chainer ``roi_pooling_2d`` (ROIPooling2D.forward_cpu
+    semantics, reached via reference functions/roi_pooling_2d.py:4-14):
+    integer-rounded rois, ``extent = max(end - start + 1, 1)``,
+    bin [k] = [floor(k*stride), ceil((k+1)*stride)) shifted by the roi start
+    and clipped to the map, empty bins -> 0. features: (N, H, W, C)."""
+    _, height, width, c = features.shape
+    r = rois.shape[0]
+    p = out_size
+    out = np.zeros((r, p, p, c), np.float32)
+    for i in range(r):
+        b = int(roi_indices[i])
+        # round-half-even like python round / np.round (chainer uses round())
+        ymin = int(np.round(rois[i, 0] * spatial_scale))
+        xmin = int(np.round(rois[i, 1] * spatial_scale))
+        ymax = int(np.round(rois[i, 2] * spatial_scale))
+        xmax = int(np.round(rois[i, 3] * spatial_scale))
+        roi_h = max(ymax - ymin + 1, 1)
+        roi_w = max(xmax - xmin + 1, 1)
+        stride_h = roi_h / p
+        stride_w = roi_w / p
+        for ph in range(p):
+            for pw in range(p):
+                hs = min(max(int(np.floor(ph * stride_h)) + ymin, 0), height)
+                he = min(max(int(np.ceil((ph + 1) * stride_h)) + ymin, 0),
+                         height)
+                ws = min(max(int(np.floor(pw * stride_w)) + xmin, 0), width)
+                we = min(max(int(np.ceil((pw + 1) * stride_w)) + xmin, 0),
+                         width)
+                if he <= hs or we <= ws:
+                    continue  # empty bin -> 0
+                out[i, ph, pw] = features[b, hs:he, ws:we].max(axis=(0, 1))
+    return out
+
+
 def nms_np(bbox, score, thresh):
     """Greedy NMS keep-indices (score order), chainercv semantics."""
     order = np.argsort(-score, kind="stable")

@@ -135,6 +135,32 @@ def test_roi_pool_batch_index():
     assert got[1].min() == 9.0
 
 
+def test_roi_pool_matches_chainer_oracle():
+    """Randomized comparison against a scalar-loop re-derivation of chainer
+    roi_pooling_2d (rounding, extent = max(end-start+1, 1), floor/ceil bin
+    bounds, empty-bin zero) — the semantics the docstring asserts."""
+    from tests.oracles import random_boxes, roi_pool_np
+
+    rng = np.random.RandomState(11)
+    n, h, w, c = 2, 12, 16, 5
+    feats = rng.randn(n, h, w, c).astype(np.float32)
+    # mix of normal rois, sub-bin tiny rois (empty bins), and rois that
+    # stick out past the feature-map border after scaling
+    rois = np.concatenate(
+        [
+            random_boxes(rng, 12, h * 16, w * 16, min_size=4.0),
+            random_boxes(rng, 6, h * 16, w * 16, min_size=0.5)[:, :4] * 0.2,
+            random_boxes(rng, 6, h * 24, w * 24, min_size=8.0),
+        ]
+    ).astype(np.float32)
+    idx = rng.randint(0, n, len(rois)).astype(np.int32)
+
+    for p in (2, 7):
+        want = roi_pool_np(feats, rois, idx, p, 1 / 16)
+        got = np.asarray(roi_pool(feats, rois, idx, p, 1 / 16))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=0)
+
+
 def test_roi_align_bin_stride_matches_sliced_full_grid():
     """bin_stride=s must equal computing the full s*P grid and slicing
     [::s, ::s] (to within one-ULP float reassociation in the bin
