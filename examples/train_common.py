@@ -121,7 +121,9 @@ def train(args, train_data, test_data, class_names, dataset_kind,
     loader = TrainLoader(
         train_data,
         transform,
-        batch_size=args.batch_size_per_gpu * len(jax.devices()),
+        # per-host batch: this process's devices only (the loop builds a
+        # global mesh across processes; each host feeds its local shard)
+        batch_size=args.batch_size_per_gpu * len(jax.local_devices()),
         max_boxes=args.max_boxes,
         min_size=min_size,
         max_size=max_size,

@@ -56,16 +56,31 @@ class InstanceSegmentationEvaluator:
         self.max_examples = max_examples
 
     def __call__(self, model) -> Dict[str, float]:
+        import jax
+
         pred_masks, pred_labels, pred_scores = [], [], []
         gt_masks, gt_labels, gt_crowds, gt_areas = [], [], [], []
         n = len(self.dataset)
         if self.max_examples:
             n = min(n, self.max_examples)
+        # Distributed evaluation: each process scores a strided shard of the
+        # dataset and the per-process reports are averaged below — the same
+        # contract as the reference's chainermn.create_multi_node_evaluator
+        # (examples/train_common.py:271-272), which also averages per-rank
+        # metric reports rather than pooling detections globally.
+        pi, pc = jax.process_index(), jax.process_count()
+        indices = list(range(n))[pi::pc]
+        # Sharded (single-process) inference pads the batch to the mesh
+        # size anyway — feed it full mesh-wide batches.
+        batch_size = self.batch_size
+        mesh = getattr(model, "mesh", None)
+        if mesh is not None:
+            batch_size = max(batch_size, mesh.devices.size)
 
-        for start in range(0, n, self.batch_size):
+        for start in range(0, len(indices), batch_size):
             examples = [
                 self.dataset[i]
-                for i in range(start, min(start + self.batch_size, n))
+                for i in indices[start:start + batch_size]
             ]
             imgs = [e[0].transpose(2, 0, 1).astype(np.float32)
                     for e in examples]
@@ -113,7 +128,56 @@ class InstanceSegmentationEvaluator:
                     report[
                         f"validation/main/ap/{self.class_names[cid]}"
                     ] = float(ap)
+        if pc > 1:
+            report = self._aggregate_reports(report)
         return report
+
+    # -- multi-host report averaging --------------------------------------
+    _SCALAR_KEYS = (
+        "validation/main/map",
+        "validation/main/map@0.5",
+        "validation/main/map@0.75",
+    )
+
+    def _report_to_vector(self, report: Dict[str, float]) -> np.ndarray:
+        vec = np.full(
+            len(self._SCALAR_KEYS) + len(self.class_names), np.nan,
+            np.float32,
+        )
+        for i, k in enumerate(self._SCALAR_KEYS):
+            if k in report:
+                vec[i] = report[k]
+        for cid, name in enumerate(self.class_names):
+            k = f"validation/main/ap/{name}"
+            if k in report:
+                vec[len(self._SCALAR_KEYS) + cid] = report[k]
+        return vec
+
+    def _vector_to_report(self, vec: np.ndarray) -> Dict[str, float]:
+        report = {}
+        for i, k in enumerate(self._SCALAR_KEYS):
+            if np.isfinite(vec[i]):
+                report[k] = float(vec[i])
+        for cid, name in enumerate(self.class_names):
+            v = vec[len(self._SCALAR_KEYS) + cid]
+            if np.isfinite(v):
+                report[f"validation/main/ap/{name}"] = float(v)
+        return report
+
+    def _aggregate_reports(self, report: Dict[str, float]):
+        """Average per-process reports (NaN = key absent on that process).
+        All processes must call this collectively."""
+        from jax.experimental import multihost_utils
+
+        gathered = np.asarray(
+            multihost_utils.process_allgather(self._report_to_vector(report))
+        )  # (pc, len)
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN cols
+            mean = np.nanmean(gathered, axis=0)
+        return self._vector_to_report(mean)
 
 
 class VisReport:

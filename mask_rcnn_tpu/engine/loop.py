@@ -65,24 +65,42 @@ def train(
     clip_norm: Optional[float] = None,
     initializer: str = "normal",
     pretrained_model: Optional[str] = None,
+    stop_at_step: Optional[int] = None,
 ) -> Dict:
     """Run the full training schedule; returns the final report."""
-    # Mesh sized from the loader's batch: batch must shard evenly over the
-    # 'data' axis (local_batch = batch_size_per_device * n_mesh_devices).
-    n_needed = max(train_loader.batch_size // batch_size_per_device, 1)
-    devices = jax.local_devices()[:n_needed]
-    if len(devices) < n_needed:
-        raise ValueError(
-            f"batch {train_loader.batch_size} needs {n_needed} devices, "
-            f"have {len(jax.local_devices())}"
-        )
+    # Mesh sized from the loader's *per-host* batch: it must shard evenly
+    # over this host's slice of the 'data' axis
+    # (local_batch = batch_size_per_device * n_local_mesh_devices).
+    n_local = max(train_loader.batch_size // batch_size_per_device, 1)
+    if jax.process_count() > 1:
+        # Multi-host: one global mesh over every device of every process;
+        # each process feeds its local shard (shard_batch assembles the
+        # global array), XLA reduces gradients over ICI/DCN.
+        if n_local != len(jax.local_devices()):
+            raise ValueError(
+                f"multi-host training needs the per-host batch "
+                f"({train_loader.batch_size}) to cover all "
+                f"{len(jax.local_devices())} local devices at "
+                f"{batch_size_per_device}/device"
+            )
+        devices = jax.devices()
+    else:
+        devices = jax.local_devices()[:n_local]
+        if len(devices) < n_local:
+            raise ValueError(
+                f"batch {train_loader.batch_size} needs {n_local} devices, "
+                f"have {len(jax.local_devices())}"
+            )
     mesh = make_mesh(devices)
     n_devices = len(devices)
-    global_batch = batch_size_per_device * n_devices * jax.process_count()
+    global_batch = batch_size_per_device * n_devices
     base_lr = lr if lr is not None else 0.00125 * global_batch
 
     steps_per_epoch = train_loader.steps_per_epoch()
     total_steps = int(max_epoch * steps_per_epoch)
+    # The LR schedule always spans the full max_epoch run; stop_at_step only
+    # interrupts execution (e.g. to checkpoint and resume later).
+    stop_step = min(stop_at_step or total_steps, total_steps)
 
     params = init_params(
         jax.random.PRNGKey(seed), cfg, initializer=initializer
@@ -124,14 +142,23 @@ def train(
     it = int(jax.device_get(state.step))
     t_start = time.time()
     running: Dict[str, float] = {}
-    epoch = 0
+    # Bit-faithful resume: restart at the epoch/position the restored step
+    # had reached, so interrupted+resumed sees the exact same data sequence
+    # as an uninterrupted run (the loader's epoch shuffle is a pure function
+    # of (seed, epoch)).
+    epoch = it // steps_per_epoch if steps_per_epoch else 0
+    skip = it % steps_per_epoch if steps_per_epoch else 0
     eval_every = max(int(eval_interval_epochs * steps_per_epoch), 1)
 
     base_rng = jax.device_put(jax.random.PRNGKey(seed), rep)
 
-    while it < total_steps:
-        for batch in train_loader.epoch(epoch):
-            if it >= total_steps:
+    while it < stop_step:
+        batches = iter(train_loader.epoch(epoch))
+        for _ in range(skip):
+            next(batches, None)
+        skip = 0
+        for batch in batches:
+            if it >= stop_step:
                 break
             sbatch = shard_batch(batch, mesh)
             state, metrics = p_step(state, sbatch, base_rng)
@@ -141,29 +168,33 @@ def train(
             # (a per-step device_get would synchronize every step).
             for k, v in metrics.items():
                 running[k] = running.get(k, 0.0) + v
-            if it % log_interval == 0 and process_zero():
-                entry = {
-                    "epoch": epoch,
-                    "iteration": it,
-                    "elapsed_time": time.time() - t_start,
-                    "lr": float(schedule(it)),
-                }
-                entry.update(
-                    {
-                        "main/" + k: float(jax.device_get(v)) / log_interval
-                        for k, v in running.items()
+            if it % log_interval == 0:
+                if process_zero():
+                    entry = {
+                        "epoch": epoch,
+                        "iteration": it,
+                        "elapsed_time": time.time() - t_start,
+                        "lr": float(schedule(it)),
                     }
-                )
-                running = {}
-                log.append(entry)
-                print(
-                    f"[it {it}/{total_steps}] "
-                    + " ".join(
-                        f"{k.split('/')[-1]}={v:.4f}"
-                        for k, v in entry.items()
-                        if k.startswith("main/")
+                    entry.update(
+                        {
+                            "main/" + k:
+                            float(jax.device_get(v)) / log_interval
+                            for k, v in running.items()
+                        }
                     )
-                )
+                    log.append(entry)
+                    print(
+                        f"[it {it}/{total_steps}] "
+                        + " ".join(
+                            f"{k.split('/')[-1]}={v:.4f}"
+                            for k, v in entry.items()
+                            if k.startswith("main/")
+                        )
+                    )
+                # every process drops its accumulator (device refs would
+                # pile up forever on non-zero ranks otherwise)
+                running = {}
 
             if (
                 checkpoint_interval_steps
@@ -179,7 +210,7 @@ def train(
 
             if evaluator is not None and it % eval_every == 0:
                 report = _evaluate(
-                    cfg, state, evaluator, vis_report, it
+                    cfg, state, evaluator, vis_report, it, mesh
                 )
                 if process_zero():
                     entry = {"epoch": epoch, "iteration": it}
@@ -214,9 +245,14 @@ def train(
             "elapsed": time.time() - t_start}
 
 
-def _evaluate(cfg, state, evaluator, vis_report, iteration):
+def _evaluate(cfg, state, evaluator, vis_report, iteration, mesh=None):
+    # Single-process meshes run sharded inference over the training devices;
+    # with multiple processes each host predicts its dataset shard locally
+    # (globally-sharded predict would need every host to see every image).
+    eval_mesh = mesh if (mesh is not None
+                         and jax.process_count() == 1) else None
     params = jax.device_get(state.params)
-    model = MaskRCNNResNet.from_config(cfg, params)
+    model = MaskRCNNResNet.from_config(cfg, params, mesh=eval_mesh)
     report = evaluator(model)
     if vis_report is not None and process_zero():
         model.score_thresh = vis_report.score_thresh

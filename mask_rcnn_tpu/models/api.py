@@ -31,6 +31,35 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+@functools.lru_cache(maxsize=None)
+def _compiled_predict(cfg: MaskRCNNConfig, mesh=None):
+    """Module-level compiled-predict cache.
+
+    Keyed on the (hashable, frozen) config + optional mesh so every
+    ``MaskRCNNResNet`` instance with the same config — in particular the
+    fresh ``from_config`` wrapper the training loop builds per evaluation —
+    reuses one jitted function and its per-shape executable cache instead of
+    recompiling (jit caches per function object). With a mesh, inference is
+    batch-sharded over the 'data' axis (params replicated) so evaluation
+    uses every device the training step uses — replacing the reference's
+    chainermn.create_multi_node_evaluator device spread
+    (examples/train_common.py:271-272).
+    """
+
+    def fn(params, images, sizes, scales):
+        return predict_step(params, cfg, images, sizes, scales)
+
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    dat = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        fn, in_shardings=(rep, dat, dat, dat), out_shardings=dat
+    )
+
+
 def find_imagenet_npz(n_layers: int) -> str:
     """Locate the chainer ImageNet ResNet npz the reference auto-downloads
     (resnet_extractor.py:104-107). Search order: $MASK_RCNN_TPU_IMAGENET_NPZ,
@@ -108,6 +137,7 @@ class MaskRCNNResNet:
         proposal_creator_params: Optional[dict] = None,
         rng_seed: int = 0,
         compute_dtype: str = "float32",
+        mesh=None,
     ):
         if n_fg_class is None:
             raise ValueError("n_fg_class is required")
@@ -137,17 +167,21 @@ class MaskRCNNResNet:
                 pretrained_model, self.params, self.config
             )
         self.score_thresh = 0.05
-        self._jitted = {}
+        self.mesh = mesh
 
     @classmethod
-    def from_config(cls, config: MaskRCNNConfig, params) -> "MaskRCNNResNet":
+    def from_config(
+        cls, config: MaskRCNNConfig, params, mesh=None
+    ) -> "MaskRCNNResNet":
         """Wrap existing (cfg, params) — used by the trainer's evaluation
-        hooks to run inference on in-training parameters."""
+        hooks to run inference on in-training parameters. Compiled graphs
+        are shared across instances (module-level cache), so building a
+        fresh wrapper per evaluation costs nothing."""
         model = cls.__new__(cls)
         model.config = config
         model.params = params
         model.score_thresh = 0.05
-        model._jitted = {}
+        model.mesh = mesh
         return model
 
     # -- reference-compatible knobs -------------------------------------
@@ -185,14 +219,8 @@ class MaskRCNNResNet:
         return prepared, sizes, scales
 
     # -- compiled graph cache -------------------------------------------
-    def _get_predict_fn(self, n: int, hp: int, wp: int):
-        key = (n, hp, wp, self.config.score_thresh)
-        if key not in self._jitted:
-            cfg = self.config
-            self._jitted[key] = jax.jit(
-                functools.partial(predict_step, cfg=cfg)
-            )
-        return self._jitted[key]
+    def _get_predict_fn(self):
+        return _compiled_predict(self.config, self.mesh)
 
     # -- inference -------------------------------------------------------
     def predict(
@@ -201,18 +229,27 @@ class MaskRCNNResNet:
                List[np.ndarray]]:
         prepared, sizes, scales = self.prepare(imgs)
         n = len(prepared)
+        # With a mesh, pad the batch to a multiple of the device count so
+        # the 'data' axis shards evenly; pad rows are dropped below.
+        nb = n
+        if self.mesh is not None:
+            nb = round_up(n, self.mesh.devices.size)
         hp = round_up(max(p.shape[0] for p in prepared), 32)
         wp = round_up(max(p.shape[1] for p in prepared), 32)
-        x = np.zeros((n, hp, wp, 3), np.float32)
+        x = np.zeros((nb, hp, wp, 3), np.float32)
         for i, p in enumerate(prepared):
             x[i, : p.shape[0], : p.shape[1]] = p
+        sizes_a = np.ones((nb, 2), np.float32)
+        sizes_a[:n] = np.asarray(sizes, np.float32)
+        scales_a = np.ones((nb,), np.float32)
+        scales_a[:n] = np.asarray(scales, np.float32)
 
-        fn = self._get_predict_fn(n, hp, wp)
+        fn = self._get_predict_fn()
         out = fn(
             self.params,
-            images=jnp.asarray(x),
-            sizes=jnp.asarray(sizes, jnp.float32),
-            scales=jnp.asarray(scales, jnp.float32),
+            jnp.asarray(x),
+            jnp.asarray(sizes_a),
+            jnp.asarray(scales_a),
         )
         out = jax.device_get(out)
 

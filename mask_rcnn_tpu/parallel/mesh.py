@@ -38,9 +38,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place a host batch dict onto the mesh, batch-dim sharded."""
+    """Place a host batch dict onto the mesh, batch-dim sharded.
+
+    Single process: a plain sharded device_put. Multi-host (global mesh):
+    each process contributes its *local* batch as one shard of the global
+    array — the jax replacement for chainermn.scatter_dataset +
+    per-rank batches (SURVEY.md §2.6)."""
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sh, np.asarray(x)
+        ),
+        batch,
+    )
 
 
 def make_parallel_train_step(step_fn, mesh: Mesh):
