@@ -310,9 +310,18 @@ def proposal_targets(
         jnp.asarray(loc_normalize_std, gt_loc.dtype)
     )
 
+    # Only positives carry mask targets (negatives are -1 ignore), and the
+    # compaction above places all positives in the first pos_quota slots —
+    # so crop-resize only those rois: 1/(1-pos_ratio) less gather work in
+    # the train step's hottest non-matmul op.
+    n_crop = min(pos_quota, n)
     crops = _crop_resize_masks_indexed(
-        mask, sel_gt, sample_roi, cfg.mask_size, packed=mask_packed
+        mask, sel_gt[:n_crop], sample_roi[:n_crop], cfg.mask_size,
+        packed=mask_packed,
     )
-    gt_mask = jnp.where(sel_pos[:, None, None], crops, -1)
+    gt_mask = jnp.full((n, cfg.mask_size, cfg.mask_size), -1, jnp.int32)
+    gt_mask = gt_mask.at[:n_crop].set(
+        jnp.where(sel_pos[:n_crop, None, None], crops, -1)
+    )
 
     return sample_roi, gt_loc, gt_roi_label, gt_mask

@@ -88,6 +88,92 @@ def nms_fixpoint_mask(
     return kept
 
 
+def _cross_suppression(kept_boxes, kept_valid, boxes, thresh):
+    """(B,) bool: box j suppressed by any valid kept box (IoU > thresh).
+    Division-free like _suppression_matrix."""
+    y1k, x1k, y2k, x2k = (kept_boxes[:, i] for i in range(4))
+    y1, x1, y2, x2 = (boxes[:, i] for i in range(4))
+    ih = jnp.maximum(
+        jnp.minimum(y2k[:, None], y2[None, :])
+        - jnp.maximum(y1k[:, None], y1[None, :]),
+        0.0,
+    )
+    iw = jnp.maximum(
+        jnp.minimum(x2k[:, None], x2[None, :])
+        - jnp.maximum(x1k[:, None], x1[None, :]),
+        0.0,
+    )
+    inter = ih * iw
+    area_k = jnp.maximum(y2k - y1k, 0.0) * jnp.maximum(x2k - x1k, 0.0)
+    area = jnp.maximum(y2 - y1, 0.0) * jnp.maximum(x2 - x1, 0.0)
+    sup = inter > thresh * (area_k[:, None] + area[None, :] - inter)
+    return jnp.any(sup & kept_valid[:, None], axis=0)
+
+
+def nms_blocked_mask(
+    bbox_sorted: jnp.ndarray,
+    valid_sorted: jnp.ndarray,
+    thresh: float,
+    max_out: int,
+    block: int = 1024,
+):
+    """Exact greedy NMS over score-sorted boxes, truncated to the first
+    ``max_out`` survivors, in score-order blocks.
+
+    Replaces the monolithic (N, N) suppression matrix (144M bools at the
+    train-time 12000-proposal scale, re-scanned every fixpoint sweep) with
+    one pass over N/B blocks: each block is tested once against the compact
+    kept set (<= max_out boxes), then resolved internally with the (B, B)
+    fixpoint. Work drops from O(N^2 * sweeps) to O(N*max_out + N*B*depth)
+    and the loop exits early once max_out survivors exist. Exact because a
+    box's greedy fate depends only on *kept* earlier boxes — all of which
+    are in the kept buffer (only the first max_out survivors are ever
+    returned, so later kept boxes cannot matter).
+
+    Returns:
+        out_pos: (max_out,) int32 positions into the sorted order, -1 pad.
+        out_mask: (max_out,) bool validity.
+    """
+    n = bbox_sorted.shape[0]
+    pad = (-n) % block
+    boxes = jnp.pad(bbox_sorted.astype(jnp.float32), ((0, pad), (0, 0)))
+    valid = jnp.pad(valid_sorted, (0, pad))
+    n_blocks = (n + pad) // block
+
+    init = (
+        jnp.array(0, jnp.int32),  # block cursor
+        jnp.array(0, jnp.int32),  # survivors so far
+        jnp.zeros((max_out, 4), jnp.float32),  # kept boxes (compact)
+        jnp.zeros((max_out,), bool),  # kept validity
+        jnp.full((max_out,), -1, jnp.int32),  # kept positions
+    )
+
+    def cond(state):
+        k, count, *_ = state
+        return (k < n_blocks) & (count < max_out)
+
+    def body(state):
+        k, count, k_boxes, k_valid, k_pos = state
+        blk = jax.lax.dynamic_slice(boxes, (k * block, 0), (block, 4))
+        bval = jax.lax.dynamic_slice(valid, (k * block,), (block,))
+        sup = _cross_suppression(k_boxes, k_valid, blk, thresh)
+        keep = nms_fixpoint_mask(blk, bval & ~sup, thresh)
+        rank = jnp.cumsum(keep) - 1
+        # out-of-capacity survivors fall off the end (mode='drop'); they are
+        # beyond the first max_out and never returned.
+        dest = jnp.where(keep, count + rank, max_out)
+        k_boxes = k_boxes.at[dest].set(blk, mode="drop")
+        k_valid = k_valid.at[dest].set(keep, mode="drop")
+        k_pos = k_pos.at[dest].set(
+            k * block + jnp.arange(block, dtype=jnp.int32), mode="drop"
+        )
+        count = jnp.minimum(count + jnp.sum(keep), max_out)
+        return k + 1, count, k_boxes, k_valid, k_pos
+
+    _, _, _, out_mask, out_pos = jax.lax.while_loop(cond, body, init)
+    return jnp.where(out_mask, out_pos, -1), out_mask
+
+
 def nms_padded(
     bbox: jnp.ndarray,
     score: jnp.ndarray,
@@ -95,6 +181,7 @@ def nms_padded(
     max_out: int,
     valid: jnp.ndarray | None = None,
     presorted: bool = False,
+    block: int | None = None,
 ):
     """Greedy NMS over padded boxes.
 
@@ -110,6 +197,8 @@ def nms_padded(
         valid: optional (N,) bool mask of real rows.
         presorted: rows already in descending-score order with valid rows
             first (e.g. straight out of lax.top_k) — skips a full sort.
+        block: use the blocked-exact path with this block size (None picks
+            automatically: blocked when N is large relative to max_out).
 
     Returns:
         indices: (max_out,) int32 indices into the input, score-ordered,
@@ -130,6 +219,17 @@ def nms_padded(
         )
         bbox_sorted = jnp.take(bbox, order, axis=0)
         valid_sorted = jnp.take(valid, order, axis=0)
+
+    if block is None and n >= 4096:
+        block = 1024  # large-N proposal NMS: blocked path is strictly faster
+    if block is not None and n > block:
+        pos, out_mask = nms_blocked_mask(
+            bbox_sorted, valid_sorted, thresh, max_out, block=block
+        )
+        out_idx = jnp.where(
+            out_mask, jnp.take(order, jnp.maximum(pos, 0)), -1
+        ).astype(jnp.int32)
+        return out_idx, out_mask
 
     kept = nms_fixpoint_mask(bbox_sorted, valid_sorted, thresh)
 

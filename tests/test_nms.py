@@ -45,6 +45,45 @@ def test_nms_max_out_truncates():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("seed,thresh", [(0, 0.7), (1, 0.5), (2, 0.3)])
+def test_nms_blocked_matches_oracle_at_scale(seed, thresh):
+    """The blocked-exact path (train-time proposal scale) must be
+    bit-identical to the greedy oracle, including truncation order and
+    padding rows."""
+    rng = np.random.RandomState(seed)
+    n = 3000
+    bbox = random_boxes(rng, n, 300, 400, min_size=4)
+    score = rng.permutation(n).astype(np.float32) / n
+    valid = rng.rand(n) > 0.05
+    max_out = 400
+
+    order = np.argsort(-np.where(valid, score, -np.inf), kind="stable")
+    want_all = nms_np(bbox[order][valid[order]],
+                      score[order][valid[order]], thresh)
+    want = order[valid[order]][want_all][:max_out]
+
+    idx, mask = jax.jit(
+        lambda b, s, v: nms_padded(
+            b, s, thresh, max_out=max_out, valid=v, block=512
+        )
+    )(bbox, score, valid)
+    got = np.asarray(idx)[np.asarray(mask)]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_nms_blocked_fewer_survivors_than_max_out():
+    rng = np.random.RandomState(7)
+    # heavy overlap -> few survivors
+    base = random_boxes(rng, 40, 60, 60, min_size=20)
+    bbox = np.concatenate([base + rng.randn(40, 4) for _ in range(40)])
+    score = rng.permutation(len(bbox)).astype(np.float32)
+    want = nms_np(bbox, score, 0.7)[:256]
+    idx, mask = nms_padded(bbox, score, 0.7, max_out=256, block=256)
+    got = np.asarray(idx)[np.asarray(mask)]
+    np.testing.assert_array_equal(got, want)
+    assert len(got) < 256  # the early-exit/padded tail is exercised
+
+
 def test_nms_suppression_chain():
     # a suppresses b, so c (overlapping b but not a) must survive: the naive
     # "suppress anything overlapped by a higher-scored box" answer differs
