@@ -1,0 +1,105 @@
+"""Two-process jax.distributed training vs the single-process 8-device mesh.
+
+The reference's multi-node path is `mpirun -n N ./train.py --multi-node`
+(examples/train_common.py:96-104, README.md:100); here two OS processes with
+2 virtual CPU devices each form one 4-device global mesh and must reproduce
+the single-process 4-device loss sequence exactly (same global batch, same
+params, same RNG)."""
+
+import json
+import os
+import os.path as osp
+import socket
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process(tmp_path):
+    # single-process baseline on this test process's 8 CPU devices
+    from mask_rcnn_tpu.engine import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from mask_rcnn_tpu.models import init_params
+    from mask_rcnn_tpu.models.targets import (
+        AnchorTargetConfig,
+        ProposalTargetConfig,
+    )
+    from mask_rcnn_tpu.parallel import (
+        make_mesh,
+        make_parallel_train_step,
+        replicated,
+        shard_batch,
+    )
+    from tests.test_parallel import make_tiny_batch, tiny_cfg
+
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    optimizer, _ = make_optimizer(params, base_lr=0.01, total_steps=10)
+    state = create_train_state(params, optimizer)
+    step_fn = make_train_step(
+        cfg,
+        optimizer,
+        proposal_cfg=ProposalTargetConfig(n_sample=8),
+        anchor_cfg=AnchorTargetConfig(n_sample=16),
+    )
+    mesh = make_mesh(jax.devices()[:4])
+    p_step = make_parallel_train_step(step_fn, mesh)
+    rep = replicated(mesh)
+    state = jax.device_put(state, rep)
+    rng = jax.device_put(jax.random.PRNGKey(1), rep)
+    batch = shard_batch(make_tiny_batch(4), mesh)
+    want = []
+    for _ in range(3):
+        state, metrics = p_step(state, batch, rng)
+        want.append(float(np.asarray(jax.device_get(metrics["loss"]))))
+
+    # two distributed worker processes over the same global batch
+    coordinator = f"127.0.0.1:{_free_port()}"
+    out_json = str(tmp_path / "losses.json")
+    worker = osp.join(osp.dirname(__file__), "multihost_worker.py")
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), coordinator, out_json],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            cwd=osp.dirname(osp.dirname(osp.abspath(__file__))),
+        )
+        for pid in (0, 1)
+    ]
+    outputs = []
+    try:
+        # both workers share this machine's single CPU core with each other
+        # (and recompile the step independently), so be generous
+        for p in procs:
+            out, _ = p.communicate(timeout=1800)
+            outputs.append(out.decode(errors="replace"))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+
+    with open(out_json) as f:
+        got = json.load(f)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
