@@ -79,6 +79,12 @@ def parse_args(dataset_defaults: dict):
         "--remat", action="store_true",
         help="rematerialize backbone stages (larger per-chip batches)",
     )
+    parser.add_argument(
+        "--input-uint8", action="store_true",
+        help="ship uint8 images and mean-subtract on device (4x less "
+        "host->device traffic; resize rounds to uint8 — off = strict "
+        "reference parity)",
+    )
     return parser.parse_args()
 
 
@@ -117,6 +123,7 @@ def train(args, train_data, test_data, class_names, dataset_kind,
     transform = MaskRCNNTransform(
         min_size, max_size, cfg.mean, train=True,
         rng=np.random.RandomState(args.seed),
+        keep_uint8=getattr(args, "input_uint8", False),
     )
     loader = TrainLoader(
         train_data,

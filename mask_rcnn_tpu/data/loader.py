@@ -53,9 +53,15 @@ def pad_batch(
     min_size: int,
     max_size: int,
     pack_masks: bool = True,
+    image_fill=None,
 ) -> Dict[str, np.ndarray]:
     """Transformed examples [(img, bbox, label, mask, scale), ...] ->
-    padded batch dict (all images share one bucket = max over the batch)."""
+    padded batch dict (all images share one bucket = max over the batch).
+
+    ``image_fill``: per-channel fill for the padded image margin. uint8
+    images (keep_uint8 transforms, 4x less H2D; the train step casts +
+    mean-subtracts on device) should pass the rounded pixel mean so the
+    margin lands at ~0 post-subtraction, like the float path's zeros."""
     n = len(examples)
     shapes = [
         bucket_shape(e[0].shape[0], e[0].shape[1], min_size, max_size)
@@ -64,7 +70,13 @@ def pad_batch(
     hp = max(s[0] for s in shapes)
     wp = max(s[1] for s in shapes)
 
-    images = np.zeros((n, hp, wp, 3), np.float32)
+    img_dtype = np.asarray(examples[0][0]).dtype
+    images = np.zeros(
+        (n, hp, wp, 3),
+        np.uint8 if img_dtype == np.uint8 else np.float32,
+    )
+    if image_fill is not None:
+        images[:] = np.asarray(image_fill, images.dtype)
     bbox = np.zeros((n, max_boxes, 4), np.float32)
     label = np.zeros((n, max_boxes), np.int32)
     bbox_valid = np.zeros((n, max_boxes), bool)
@@ -160,13 +172,19 @@ class TrainLoader:
     def _make_batches(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         idx = self.epoch_indices(epoch)
         nb = len(idx) // self.batch_size
+        # uint8 transforms: pad the image margin at the (rounded) pixel
+        # mean so it lands at ~0 after on-device mean subtraction.
+        fill = None
+        if getattr(self.transform, "keep_uint8", False):
+            fill = np.round(self.transform.mean).astype(np.uint8)
         for b in range(nb):
             batch_idx = idx[b * self.batch_size:(b + 1) * self.batch_size]
             examples = [
                 self.transform(self.dataset[int(i)]) for i in batch_idx
             ]
             yield pad_batch(
-                examples, self.max_boxes, self.min_size, self.max_size
+                examples, self.max_boxes, self.min_size, self.max_size,
+                image_fill=fill,
             )
 
     def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:

@@ -22,10 +22,14 @@ def compute_scale(h: int, w: int, min_size: int, max_size: int) -> float:
     return scale
 
 
-def resize_example(img, bboxes, masks, min_size, max_size):
+def resize_example(img, bboxes, masks, min_size, max_size,
+                   keep_uint8=False):
     h, w = img.shape[:2]
     scale = compute_scale(h, w, min_size, max_size)
-    img = cv2.resize(img.astype(np.float32), None, fx=scale, fy=scale)
+    img = cv2.resize(
+        img if keep_uint8 else img.astype(np.float32),
+        None, fx=scale, fy=scale,
+    )
     nh, nw = img.shape[:2]
     bboxes = bboxes * np.asarray(
         [nh / h, nw / w, nh / h, nw / w], np.float32
@@ -61,12 +65,19 @@ class MaskRCNNTransform:
 
     def __init__(self, min_size: int, max_size: int,
                  mean: Tuple[float, float, float], train: bool = True,
-                 rng: np.random.RandomState | None = None):
+                 rng: np.random.RandomState | None = None,
+                 keep_uint8: bool = False):
+        """``keep_uint8`` defers mean subtraction to the device and ships
+        uint8 images (4x less host->device traffic; the train step casts
+        and subtracts on-chip). The resize then runs on uint8 — up to
+        0.5/255 per-pixel rounding vs the reference's float32 resize, so
+        the float path stays the parity default."""
         self.min_size = min_size
         self.max_size = max_size
         self.mean = np.asarray(mean, np.float32)
         self.train = train
         self.rng = rng or np.random.RandomState()
+        self.keep_uint8 = keep_uint8
 
     def __call__(self, example):
         img, bboxes, labels, masks = example[:4]
@@ -74,9 +85,11 @@ class MaskRCNNTransform:
             img = img.astype(np.float32) - self.mean
             return img, bboxes, labels, masks.astype(np.uint8), 1.0
         img, bboxes, masks, scale = resize_example(
-            img, bboxes, masks, self.min_size, self.max_size
+            img, bboxes, masks, self.min_size, self.max_size,
+            keep_uint8=self.keep_uint8,
         )
-        img = img - self.mean
+        if not self.keep_uint8:
+            img = img - self.mean
         if self.rng.rand() < 0.5:
             img, bboxes, masks = flip_horizontal(img, bboxes, masks)
         return img, bboxes, labels, masks.astype(np.uint8), scale

@@ -235,8 +235,11 @@ def train(
                     )
         epoch += 1
 
-    # Final snapshot if never evaluated.
-    if best_map < 0 and process_zero():
+    # Final snapshot if never evaluated — or if evaluation never produced a
+    # positive mAP (the best-snapshot trigger fires only on improvement, so
+    # without this an all-zero-mAP run would leave the earliest, least
+    # trained params on disk).
+    if best_map <= 0 and process_zero():
         save_params(
             osp.join(out_dir, "snapshot_model.npz"),
             jax.device_get(state.params),

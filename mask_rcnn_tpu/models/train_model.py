@@ -50,12 +50,17 @@ def train_loss(
     """Compute the 5-term Mask R-CNN loss on a padded batch.
 
     batch keys:
-        image: (N, H, W, 3) float32, mean-subtracted, zero-padded.
+        image: (N, H, W, 3) float32 mean-subtracted — or uint8 raw pixels
+            (keep_uint8 loaders), cast + mean-subtracted here on device.
         bbox: (N, G, 4); label: (N, G) 0-based fg; bbox_valid: (N, G) bool.
         mask: (N, G, H, W) binary instance masks (uint8/bool/int).
         scale: (N,) preprocessing scales.
     """
     images = batch["image"]
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) - jnp.asarray(
+            cfg.mean, jnp.float32
+        )
     n = images.shape[0]
     img_size = images.shape[1:3]
 
