@@ -14,8 +14,10 @@ def main():
     try:
         COCOInstanceSegmentationDataset("train").download()
     except FileNotFoundError:
-        for k, v in COCOInstanceSegmentationDataset.DOWNLOAD_URLS.items():
-            print(f"{k}: {v}")
+        for k, (url, md5) in (
+            COCOInstanceSegmentationDataset.DOWNLOAD_URLS.items()
+        ):
+            print(f"{k}: {url}" + (f" (md5 {md5})" if md5 else ""))
         print("Place under ~/data/datasets/COCO/")
 
 

@@ -56,11 +56,31 @@ class COCOInstanceSegmentationDataset:
     labels (R,) int32 0-based fg, masks (R, H, W) int32
     [, crowds (R,), areas (R,)])."""
 
+    # url + md5 of the archive (md5s from the reference download table,
+    # /root/reference/chainer_mask_rcnn/datasets/coco.py:24-50; the image
+    # zips are unchecksummed there too).
     DOWNLOAD_URLS = {
-        "train2014": "http://images.cocodataset.org/zips/train2014.zip",
-        "val2014": "http://images.cocodataset.org/zips/val2014.zip",
-        "annotations": "http://images.cocodataset.org/annotations/"
-        "annotations_trainval2014.zip",
+        "train2014": (
+            "http://images.cocodataset.org/zips/train2014.zip", None,
+        ),
+        "val2014": (
+            "http://images.cocodataset.org/zips/val2014.zip", None,
+        ),
+        "instances_train-val2014.zip": (
+            "http://msvocds.blob.core.windows.net/annotations-1-0-3/"
+            "instances_train-val2014.zip",
+            "59582776b8dd745d649cd249ada5acf7",
+        ),
+        "annotations/instances_minival2014.json.zip": (
+            "https://dl.dropboxusercontent.com/s/o43o90bna78omob/"
+            "instances_minival2014.json.zip",
+            "395a089042d356d97017bf416e4e99fb",
+        ),
+        "annotations/instances_valminusminival2014.json.zip": (
+            "https://dl.dropboxusercontent.com/s/s3tw5zcg7395368/"
+            "instances_valminusminival2014.json.zip",
+            "f72ed643338e184978e8228948972e84",
+        ),
     }
 
     def __init__(
@@ -127,9 +147,25 @@ class COCOInstanceSegmentationDataset:
         ]
 
     def download(self):
+        """No network egress in this environment: print sources, and md5-
+        verify any archive already present on disk (reference behavior:
+        cached_download with md5, datasets/coco.py:24-50)."""
+        import hashlib
+
         print("No network egress in this environment. Fetch manually:")
-        for k, v in self.DOWNLOAD_URLS.items():
-            print(f"  {k}: {v}")
+        for name, (url, md5) in self.DOWNLOAD_URLS.items():
+            path = osp.join(self.root, osp.basename(name))
+            status = ""
+            if osp.exists(path) and md5:
+                h = hashlib.md5()
+                with open(path, "rb") as f:
+                    for chunk in iter(lambda: f.read(1 << 20), b""):
+                        h.update(chunk)
+                ok = h.hexdigest() == md5
+                status = "  [md5 OK]" if ok else (
+                    f"  [md5 MISMATCH: {h.hexdigest()} != {md5}]"
+                )
+            print(f"  {name}: {url}{status}")
 
     def get_example(self, i: int):
         img_id = self.img_ids[i]

@@ -140,3 +140,29 @@ def test_dataset_crowd_returns(mini_coco):
     assert crowds.tolist() == [0, 1]
     assert areas.shape == (2,)
     assert labels.tolist() == [0, 1]
+
+
+def test_download_verifies_present_archives(mini_coco, capsys):
+    """Egress-less download(): prints sources and md5-checks any archive
+    already on disk (reference cached_download md5 behavior,
+    datasets/coco.py:24-50)."""
+    import hashlib
+    import os.path as osp
+
+    ds = COCOInstanceSegmentationDataset("train", root=mini_coco)
+    name = "instances_train-val2014.zip"
+    url, want_md5 = ds.DOWNLOAD_URLS[name]
+    path = osp.join(ds.root, name)
+    with open(path, "wb") as f:
+        f.write(b"not the real archive")
+    ds.download()
+    out = capsys.readouterr().out
+    assert url in out
+    assert "md5 MISMATCH" in out
+
+    # an archive whose md5 matches reports OK
+    actual = hashlib.md5(b"not the real archive").hexdigest()
+    ds.DOWNLOAD_URLS = dict(ds.DOWNLOAD_URLS)
+    ds.DOWNLOAD_URLS[name] = (url, actual)
+    ds.download()
+    assert "md5 OK" in capsys.readouterr().out
