@@ -37,12 +37,28 @@ def make_synthetic_voc_like(n=20, h=320, w=400, seed=0):
         img = (rng.randn(h, w, 3) * 10 + 90).clip(0, 255).astype(np.uint8)
         k = rng.randint(1, 4)
         bboxes, labels, masks = [], [], []
+        placed = []
         for _ in range(k):
             cls = rng.randint(0, len(CLASS_NAMES))
             bh = rng.randint(60, 140)
             bw = rng.randint(60, 140)
-            y1 = rng.randint(0, h - bh)
-            x1 = rng.randint(0, w - bw)
+            # Non-overlapping placement: an occluded instance's recorded
+            # mask would otherwise claim pixels the image shows as the
+            # occluder's, putting a hard ceiling on achievable mask IoU.
+            y1 = x1 = None
+            for _attempt in range(20):
+                ty = rng.randint(0, h - bh)
+                tx = rng.randint(0, w - bw)
+                if all(
+                    ty + bh <= py1 or ty >= py2 or tx + bw <= px1
+                    or tx >= px2
+                    for py1, px1, py2, px2 in placed
+                ):
+                    y1, x1 = ty, tx
+                    break
+            if y1 is None:
+                continue
+            placed.append((y1, x1, y1 + bh, x1 + bw))
             mask = np.zeros((h, w), np.int32)
             if cls == 0:  # solid bright box
                 mask[y1:y1 + bh, x1:x1 + bw] = 1

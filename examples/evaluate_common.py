@@ -30,6 +30,9 @@ def evaluate(test_data, class_names, dataset_kind, indices_vis=None,
     )
 
     model, _ = build_model_from_log_dir(args.log_dir)
+    # Dataset sweep: pad to the static orientation buckets so the whole
+    # evaluation compiles at most two inference graphs.
+    model.pad_to_bucket = True
 
     if indices_vis:
         indices_vis = [i for i in indices_vis if i < len(test_data)]

@@ -138,6 +138,7 @@ class MaskRCNNResNet:
         rng_seed: int = 0,
         compute_dtype: str = "float32",
         mesh=None,
+        pad_to_bucket: bool = False,
     ):
         if n_fg_class is None:
             raise ValueError("n_fg_class is required")
@@ -168,10 +169,12 @@ class MaskRCNNResNet:
             )
         self.score_thresh = 0.05
         self.mesh = mesh
+        self.pad_to_bucket = pad_to_bucket
 
     @classmethod
     def from_config(
-        cls, config: MaskRCNNConfig, params, mesh=None
+        cls, config: MaskRCNNConfig, params, mesh=None,
+        pad_to_bucket: bool = False,
     ) -> "MaskRCNNResNet":
         """Wrap existing (cfg, params) — used by the trainer's evaluation
         hooks to run inference on in-training parameters. Compiled graphs
@@ -182,6 +185,7 @@ class MaskRCNNResNet:
         model.params = params
         model.score_thresh = 0.05
         model.mesh = mesh
+        model.pad_to_bucket = pad_to_bucket
         return model
 
     # -- reference-compatible knobs -------------------------------------
@@ -234,8 +238,24 @@ class MaskRCNNResNet:
         nb = n
         if self.mesh is not None:
             nb = round_up(n, self.mesh.devices.size)
-        hp = round_up(max(p.shape[0] for p in prepared), 32)
-        wp = round_up(max(p.shape[1] for p in prepared), 32)
+        if self.pad_to_bucket:
+            # Pad to the loader's static orientation buckets so a whole
+            # dataset sweep compiles at most two graphs (vs one per
+            # distinct rounded size). The extra rows/cols are zeros
+            # (= pixel mean); the reference's ragged concat pads the same
+            # way, just to the batch max instead of the bucket.
+            from mask_rcnn_tpu.data.loader import bucket_shape
+
+            shapes = [
+                bucket_shape(p.shape[0], p.shape[1],
+                             self.config.min_size, self.config.max_size)
+                for p in prepared
+            ]
+            hp = max(s[0] for s in shapes)
+            wp = max(s[1] for s in shapes)
+        else:
+            hp = round_up(max(p.shape[0] for p in prepared), 32)
+            wp = round_up(max(p.shape[1] for p in prepared), 32)
         x = np.zeros((nb, hp, wp, 3), np.float32)
         for i, p in enumerate(prepared):
             x[i, : p.shape[0], : p.shape[1]] = p

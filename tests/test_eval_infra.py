@@ -176,3 +176,23 @@ def test_resume_is_bit_faithful(tmp_path):
     assert sorted(part_b) == [3, 4], "resume must continue at step 3"
     np.testing.assert_allclose(part_b[3], full[3], rtol=1e-6)
     np.testing.assert_allclose(part_b[4], full[4], rtol=1e-6)
+
+
+def test_pad_to_bucket_predictions_match():
+    """Bucket-padded inference (bounded compile count for dataset sweeps)
+    must produce the same detections as tight 32-aligned padding — the
+    extra margin is mean-level pixels, exactly like the reference's
+    ragged-batch padding."""
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    tight = MaskRCNNResNet.from_config(cfg, params)
+    bucket = MaskRCNNResNet.from_config(cfg, params, pad_to_bucket=True)
+
+    rng = np.random.RandomState(4)
+    imgs = [rng.randint(0, 255, (3, 50, 60)).astype(np.float32)]
+    b0, m0, l0, s0 = tight.predict(imgs)
+    b1, m1, l1, s1 = bucket.predict(imgs)
+    assert len(b0[0]) == len(b1[0])
+    np.testing.assert_array_equal(l0[0], l1[0])
+    np.testing.assert_allclose(s0[0], s1[0], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(b0[0], b1[0], rtol=1e-3, atol=0.5)
