@@ -27,6 +27,10 @@ def main():
         "--compute-dtype", choices=("float32", "bfloat16"),
         default="bfloat16",
     )
+    parser.add_argument(
+        "--uint8", action="store_true",
+        help="ship uint8 pixels and normalize on device (4x less H2D)",
+    )
     args = parser.parse_args()
 
     from mask_rcnn_tpu.models.api import MaskRCNNResNet
@@ -46,6 +50,7 @@ def main():
             compute_dtype=args.compute_dtype,
         )
     model.score_thresh = 0.7
+    model.uint8_input = args.uint8
 
     if args.image:
         import cv2

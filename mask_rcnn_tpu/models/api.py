@@ -139,6 +139,7 @@ class MaskRCNNResNet:
         compute_dtype: str = "float32",
         mesh=None,
         pad_to_bucket: bool = False,
+        uint8_input: bool = False,
     ):
         if n_fg_class is None:
             raise ValueError("n_fg_class is required")
@@ -170,11 +171,12 @@ class MaskRCNNResNet:
         self.score_thresh = 0.05
         self.mesh = mesh
         self.pad_to_bucket = pad_to_bucket
+        self.uint8_input = uint8_input
 
     @classmethod
     def from_config(
         cls, config: MaskRCNNConfig, params, mesh=None,
-        pad_to_bucket: bool = False,
+        pad_to_bucket: bool = False, uint8_input: bool = False,
     ) -> "MaskRCNNResNet":
         """Wrap existing (cfg, params) — used by the trainer's evaluation
         hooks to run inference on in-training parameters. Compiled graphs
@@ -186,6 +188,7 @@ class MaskRCNNResNet:
         model.score_thresh = 0.05
         model.mesh = mesh
         model.pad_to_bucket = pad_to_bucket
+        model.uint8_input = uint8_input
         return model
 
     # -- reference-compatible knobs -------------------------------------
@@ -201,7 +204,10 @@ class MaskRCNNResNet:
     def prepare(self, imgs: Sequence[np.ndarray]):
         """Resize so min side = min_size capped by max_size; subtract mean.
 
-        Matches reference ``prepare`` (models/mask_rcnn.py:152-176).
+        Matches reference ``prepare`` (models/mask_rcnn.py:152-176). With
+        ``uint8_input`` the resize runs on uint8 and mean subtraction moves
+        on-device (4x less H2D; up to 0.5/255 per-pixel rounding vs the
+        reference's float32 resize, so float stays the parity default).
         """
         prepared, sizes, scales = [], [], []
         mean = np.asarray(self.config.mean, np.float32)
@@ -214,9 +220,16 @@ class MaskRCNNResNet:
                 scale = self.config.min_size / min(h, w)
             if self.config.max_size and scale * max(h, w) > self.config.max_size:
                 scale = self.config.max_size / max(h, w)
-            hwc = img.transpose(1, 2, 0).astype(np.float32)
-            hwc = cv2.resize(hwc, None, fx=scale, fy=scale)
-            hwc = hwc - mean
+            hwc = img.transpose(1, 2, 0)
+            if self.uint8_input:
+                hwc = cv2.resize(
+                    np.clip(hwc, 0, 255).astype(np.uint8), None,
+                    fx=scale, fy=scale,
+                )
+            else:
+                hwc = cv2.resize(
+                    hwc.astype(np.float32), None, fx=scale, fy=scale
+                ) - mean
             prepared.append(hwc)
             sizes.append((h, w))
             scales.append(scale)
@@ -256,7 +269,12 @@ class MaskRCNNResNet:
         else:
             hp = round_up(max(p.shape[0] for p in prepared), 32)
             wp = round_up(max(p.shape[1] for p in prepared), 32)
-        x = np.zeros((nb, hp, wp, 3), np.float32)
+        if self.uint8_input:
+            # margin at the rounded mean -> ~0 after on-device subtraction
+            x = np.empty((nb, hp, wp, 3), np.uint8)
+            x[:] = np.round(np.asarray(self.config.mean)).astype(np.uint8)
+        else:
+            x = np.zeros((nb, hp, wp, 3), np.float32)
         for i, p in enumerate(prepared):
             x[i, : p.shape[0], : p.shape[1]] = p
         sizes_a = np.ones((nb, 2), np.float32)

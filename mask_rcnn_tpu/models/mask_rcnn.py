@@ -226,7 +226,8 @@ def predict_step(
     """Full inference graph on a padded batch.
 
     Args:
-        images: (N, H, W, 3) float32, mean-subtracted, zero-padded.
+        images: (N, H, W, 3) float32 mean-subtracted zero-padded — or uint8
+            raw pixels (mean-padded), normalized here on device.
         sizes: (N, 2) float32 original (pre-resize) image sizes.
         scales: (N,) float32 preprocessing scale factors.
 
@@ -237,6 +238,11 @@ def predict_step(
     """
     n = images.shape[0]
     d = cfg.detections_per_im
+    if images.dtype == jnp.uint8:
+        # uint8 host path: cast + mean-subtract on device (4x less H2D).
+        images = images.astype(jnp.float32) - jnp.asarray(
+            cfg.mean, jnp.float32
+        )
     params = cast_params(params, cfg.compute_dtype)
     feats, locs, scores, anchors = forward_backbone_rpn(
         params, cfg, images, train=False

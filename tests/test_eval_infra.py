@@ -196,3 +196,24 @@ def test_pad_to_bucket_predictions_match():
     np.testing.assert_array_equal(l0[0], l1[0])
     np.testing.assert_allclose(s0[0], s1[0], rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(b0[0], b1[0], rtol=1e-3, atol=0.5)
+
+
+def test_uint8_predict_matches_float():
+    """uint8 host path (4x less H2D, on-device normalization) must match the
+    float path up to resize rounding (inputs here are integer-valued at
+    scale 1, so exactly)."""
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(5), cfg)
+    f = MaskRCNNResNet.from_config(cfg, params)
+    u = MaskRCNNResNet.from_config(cfg, params, uint8_input=True)
+
+    rng = np.random.RandomState(6)
+    # min_size scaling produces non-1 scale; integer pixels keep the uint8
+    # resize close to the float one
+    imgs = [rng.randint(0, 255, (3, 48, 64)).astype(np.float32)]
+    b0, m0, l0, s0 = f.predict(imgs)
+    b1, m1, l1, s1 = u.predict(imgs)
+    assert len(b0[0]) == len(b1[0])
+    np.testing.assert_array_equal(l0[0], l1[0])
+    np.testing.assert_allclose(s0[0], s1[0], rtol=5e-2, atol=1e-3)
+    np.testing.assert_allclose(b0[0], b1[0], rtol=5e-2, atol=1.5)
