@@ -122,6 +122,13 @@ class MaskRCNNResNet:
     scores (R,))``.
     """
 
+    # class-level defaults so partially-constructed instances (tests,
+    # from_config before older pickles) degrade safely
+    score_thresh = 0.05
+    mesh = None
+    pad_to_bucket = False
+    uint8_input = False
+
     def __init__(
         self,
         n_layers: int = 50,
