@@ -18,6 +18,12 @@ def evaluate(test_data, class_names, dataset_kind, indices_vis=None,
     parser.add_argument("log_dir")
     parser.add_argument("--batch-size", type=int, default=2)
     parser.add_argument("--max-examples", type=int, default=None)
+    parser.add_argument(
+        "--strict-parity", action="store_true",
+        help="bit-closest reference decode: per-class NMS considers every "
+        "box above score 0.05 (nms_topk_per_class=0) and compute runs in "
+        "float32 (docs/parity.md)",
+    )
     args = parser.parse_args()
 
     import yaml
@@ -33,6 +39,12 @@ def evaluate(test_data, class_names, dataset_kind, indices_vis=None,
     # Dataset sweep: pad to the static orientation buckets so the whole
     # evaluation compiles at most two inference graphs.
     model.pad_to_bucket = True
+    if args.strict_parity:
+        import dataclasses
+
+        model.config = dataclasses.replace(
+            model.config, nms_topk_per_class=0, compute_dtype="float32"
+        )
 
     if indices_vis:
         indices_vis = [i for i in indices_vis if i < len(test_data)]

@@ -1,14 +1,21 @@
 #!/usr/bin/env python
-"""Print VOC/SBD download instructions (reference
-examples/voc/download_datasets.py; no egress in this environment)."""
+"""Print VOC/SBD download sources and md5-verify any archives already on
+disk (reference examples/voc/download_datasets.py; no egress here)."""
+
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), "..", ".."))
 
 
 def main():
-    print("No network egress in this environment. Fetch manually:")
-    print("  VOC2012: http://host.robots.ox.ac.uk/pascal/VOC/voc2012/"
-          "VOCtrainval_11-May-2012.tar")
-    print("  SBD: http://www.eecs.berkeley.edu/Research/Projects/CS/vision/"
-          "grouping/semantic_contours/benchmark.tgz")
+    from mask_rcnn_tpu.data.voc import (
+        SBDInstanceSegmentationDataset,
+        VOC2012InstanceSegmentationDataset,
+    )
+
+    VOC2012InstanceSegmentationDataset.download()
+    SBDInstanceSegmentationDataset.download()
     print("Place under ~/data/datasets/VOC/")
 
 

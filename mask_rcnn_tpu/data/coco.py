@@ -154,9 +154,15 @@ class COCOInstanceSegmentationDataset:
 
         print("No network egress in this environment. Fetch manually:")
         for name, (url, md5) in self.DOWNLOAD_URLS.items():
-            path = osp.join(self.root, osp.basename(name))
+            # The key may carry a subdirectory ('annotations/...'); check the
+            # documented location first, then a flat root-level fallback.
+            candidates = [osp.join(self.root, name)]
+            flat = osp.join(self.root, osp.basename(name))
+            if flat not in candidates:
+                candidates.append(flat)
+            path = next((p for p in candidates if osp.exists(p)), None)
             status = ""
-            if osp.exists(path) and md5:
+            if path is not None and md5:
                 h = hashlib.md5()
                 with open(path, "rb") as f:
                     for chunk in iter(lambda: f.read(1 << 20), b""):

@@ -22,6 +22,27 @@ VOC_CLASS_NAMES = (
 )
 
 
+def _print_sources_and_verify(root: str, archives) -> None:
+    """Egress-less download(): print sources, md5-verify archives already
+    on disk (the reference delegates to fcn's cached_download, which
+    verifies the same md5s — datasets/voc/voc.py:46-47, sbd.py:69-70)."""
+    import hashlib
+
+    print("No network egress in this environment. Fetch manually:")
+    for name, url, md5 in archives:
+        path = osp.join(osp.expanduser(root), name)
+        status = ""
+        if osp.exists(path) and md5:
+            h = hashlib.md5()
+            with open(path, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+            status = "  [md5 OK]" if h.hexdigest() == md5 else (
+                f"  [md5 MISMATCH: {h.hexdigest()} != {md5}]"
+            )
+        print(f"  {name}: {url}{status}")
+
+
 def _read_label_png(path: str) -> np.ndarray:
     """Palette PNG -> int32 label image; 255 -> -1 (VOC ignore)."""
     from PIL import Image
@@ -46,6 +67,19 @@ class VOC2012InstanceSegmentationDataset:
     (reference datasets/voc/voc.py:13-129)."""
 
     class_names = VOC_CLASS_NAMES
+
+    DOWNLOAD_ARCHIVES = (
+        (
+            "VOCtrainval_11-May-2012.tar",
+            "http://host.robots.ox.ac.uk/pascal/VOC/voc2012/"
+            "VOCtrainval_11-May-2012.tar",
+            "6cd6e144f989b92b3379bac3b3de84fd",
+        ),
+    )
+
+    @classmethod
+    def download(cls, root: str = "~/data/datasets/VOC"):
+        _print_sources_and_verify(root, cls.DOWNLOAD_ARCHIVES)
 
     def __init__(self, split: str = "train",
                  root: str = "~/data/datasets/VOC/VOCdevkit/VOC2012"):
@@ -79,18 +113,37 @@ class SBDInstanceSegmentationDataset:
     """SBD (benchmark_RELEASE) .mat GTcls/GTinst loader
     (reference datasets/voc/sbd.py:16-70).
 
-    The reference vendors FCIS's 5623/5732 train/val id lists; pass
-    ``split_file`` to use a custom list, otherwise the dataset's own
-    ``train.txt``/``val.txt`` are used.
+    Defaults to the FCIS 5623/5732 train/val id lists the reference vendors
+    (datasets/voc/data/VOCdevkit/VOCSDS/ImageSets/Main/{train,val}.txt) —
+    the published VOC numbers (examples/voc/README.md:20-24) are computed on
+    these splits, not SBD's own larger ``train.txt``. Pass ``split_file`` to
+    override.
     """
 
     class_names = VOC_CLASS_NAMES
 
+    DOWNLOAD_ARCHIVES = (
+        (
+            "benchmark.tgz",
+            "http://www.eecs.berkeley.edu/Research/Projects/CS/vision/"
+            "grouping/semantic_contours/benchmark.tgz",
+            "82b4d87ceb2ed10f6038a1cba92111cb",
+        ),
+    )
+
+    @classmethod
+    def download(cls, root: str = "~/data/datasets/VOC"):
+        _print_sources_and_verify(root, cls.DOWNLOAD_ARCHIVES)
+
     def __init__(self, split: str = "train",
                  root: str = "~/data/datasets/VOC/benchmark_RELEASE/dataset",
                  split_file: str | None = None):
+        if split not in ("train", "val") and split_file is None:
+            raise ValueError(split)
         self.root = osp.expanduser(root)
-        split_file = split_file or osp.join(self.root, f"{split}.txt")
+        split_file = split_file or osp.join(
+            osp.dirname(__file__), "sbd_splits", f"{split}.txt"
+        )
         with open(split_file) as f:
             self.ids = [line.strip() for line in f if line.strip()]
 

@@ -18,17 +18,6 @@ from mask_rcnn_tpu.utils.visualizations import (
 )
 
 
-def _iter_batches(dataset, batch_size):
-    batch = []
-    for i in range(len(dataset)):
-        batch.append(dataset[i])
-        if len(batch) == batch_size:
-            yield batch
-            batch = []
-    if batch:
-        yield batch
-
-
 class InstanceSegmentationEvaluator:
     """Runs model.predict over a dataset and computes COCO or VOC metrics.
 

@@ -9,6 +9,8 @@ setup(
         "and mesh data parallelism"
     ),
     packages=find_packages(include=["mask_rcnn_tpu", "mask_rcnn_tpu.*"]),
+    package_data={"mask_rcnn_tpu.data": ["sbd_splits/*.txt"]},
+    include_package_data=True,
     python_requires=">=3.10",
     install_requires=[
         "jax",

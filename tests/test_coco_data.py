@@ -166,3 +166,24 @@ def test_download_verifies_present_archives(mini_coco, capsys):
     ds.DOWNLOAD_URLS[name] = (url, actual)
     ds.download()
     assert "md5 OK" in capsys.readouterr().out
+
+
+def test_download_checks_subdirectory_locations(mini_coco, capsys):
+    """Archives placed at the documented subdirectory path
+    ('annotations/instances_minival2014.json.zip') must be md5-checked,
+    not only root-level basenames."""
+    import hashlib
+    import os.path as osp
+
+    ds = COCOInstanceSegmentationDataset("train", root=mini_coco)
+    name = "annotations/instances_minival2014.json.zip"
+    url, want_md5 = ds.DOWNLOAD_URLS[name]
+    path = osp.join(ds.root, name)
+    with open(path, "wb") as f:
+        f.write(b"zip at the documented location")
+    ds.DOWNLOAD_URLS = dict(ds.DOWNLOAD_URLS)
+    ds.DOWNLOAD_URLS[name] = (
+        url, hashlib.md5(b"zip at the documented location").hexdigest()
+    )
+    ds.download()
+    assert "md5 OK" in capsys.readouterr().out

@@ -8,6 +8,7 @@ import pytest
 from PIL import Image
 
 from mask_rcnn_tpu.data.voc import (
+    SBDInstanceSegmentationDataset,
     VOC2012InstanceSegmentationDataset,
     VOCLikeDataset,
 )
@@ -61,6 +62,46 @@ def test_voc2012_contract(mini_voc):
     # boxes tight around the instances
     i = labels.tolist().index(14)
     np.testing.assert_allclose(bboxes[i], [5, 5, 20, 30])
+
+
+def test_sbd_vendored_fcis_splits():
+    """Default SBD splits are the FCIS 5623/5732 id lists the reference
+    vendors (datasets/voc/sbd.py:16-70 + vendored ImageSets/Main/*.txt) —
+    the splits the published VOC mAP numbers are computed on."""
+    train = SBDInstanceSegmentationDataset("train")
+    val = SBDInstanceSegmentationDataset("val")
+    assert len(train) == 5623
+    assert len(val) == 5732
+    assert train.ids[0] == "2008_000008"
+    # FCIS val does not leak into FCIS train
+    assert not set(train.ids) & set(val.ids)
+    with pytest.raises(ValueError):
+        SBDInstanceSegmentationDataset("trainval")
+
+
+def test_voc_download_verifies_present_archives(tmp_path, capsys):
+    import hashlib
+
+    blob = b"not the real VOC tar"
+    (tmp_path / "VOCtrainval_11-May-2012.tar").write_bytes(blob)
+    archives = (
+        ("VOCtrainval_11-May-2012.tar", "http://example/voc.tar",
+         hashlib.md5(blob).hexdigest()),
+    )
+    orig = VOC2012InstanceSegmentationDataset.DOWNLOAD_ARCHIVES
+    try:
+        VOC2012InstanceSegmentationDataset.DOWNLOAD_ARCHIVES = archives
+        VOC2012InstanceSegmentationDataset.download(root=str(tmp_path))
+        assert "md5 OK" in capsys.readouterr().out
+    finally:
+        VOC2012InstanceSegmentationDataset.DOWNLOAD_ARCHIVES = orig
+    # mismatching archive is reported
+    SBDInstanceSegmentationDataset.download(root=str(tmp_path))
+    out = capsys.readouterr().out
+    assert "benchmark.tgz" in out and "MISMATCH" not in out
+    (tmp_path / "benchmark.tgz").write_bytes(b"wrong bytes")
+    SBDInstanceSegmentationDataset.download(root=str(tmp_path))
+    assert "md5 MISMATCH" in capsys.readouterr().out
 
 
 def test_voclike_dataset(tmp_path):
