@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""COCO-scale evaluation memory check.
+
+Runs the streaming ``InstanceSegmentationEvaluator`` over a synthetic
+dataset at COCO-minival scale (default 5000 images, ~1 MP, up to 100
+detections each) with a fake predict, and reports peak RSS growth. The
+pre-streaming evaluator held every full-resolution mask in RAM (~100+ GB at
+this scale); the streaming path must stay within a few GB.
+
+Usage: ./examples/check_eval_memory.py [--images 5000] [--dets 100]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+import resource
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
+
+
+class SyntheticCOCOScaleDataset:
+    """~1 MP images with a handful of rectangular gt instances."""
+
+    def __init__(self, n: int, h: int = 800, w: int = 1216, n_gt: int = 8):
+        self.n, self.h, self.w, self.n_gt = n, h, w, n_gt
+
+    def __len__(self):
+        return self.n
+
+    def _boxes(self, i):
+        rng = np.random.RandomState(i)
+        boxes = []
+        for _ in range(self.n_gt):
+            y = rng.randint(0, self.h - 120)
+            x = rng.randint(0, self.w - 120)
+            boxes.append((y, x, y + rng.randint(40, 120),
+                          x + rng.randint(40, 120)))
+        return boxes, rng
+
+    def __getitem__(self, i):
+        boxes, rng = self._boxes(i)
+        img = np.full((self.h, self.w, 3), 127, np.uint8)
+        masks = np.zeros((self.n_gt, self.h, self.w), np.int32)
+        for k, (y1, x1, y2, x2) in enumerate(boxes):
+            masks[k, y1:y2, x1:x2] = 1
+        bboxes = np.asarray(boxes, np.float32)
+        labels = rng.randint(0, 80, self.n_gt).astype(np.int32)
+        crowds = np.zeros(self.n_gt, np.int32)
+        areas = masks.sum(axis=(1, 2)).astype(np.float32)
+        # stash for the fake model (keyed by image checksum is overkill;
+        # the model re-derives from the image index channel below)
+        img[0, 0, 0] = i % 251
+        return img, bboxes, labels, masks, crowds, areas
+
+
+class FakePredictModel:
+    """Up to ``n_dets`` detections per image: jittered gt + noise."""
+
+    def __init__(self, dataset, n_dets: int):
+        self.dataset = dataset
+        self.n_dets = n_dets
+
+    def predict(self, imgs):
+        bboxes, masks, labels, scores = [], [], [], []
+        for img in imgs:
+            h, w = img.shape[1:]
+            i = int(img[0, 0, 0])
+            boxes, rng = self.dataset._boxes(i)
+            ms = np.zeros((self.n_dets, h, w), bool)
+            ls = rng.randint(0, 80, self.n_dets).astype(np.int32)
+            ss = rng.rand(self.n_dets).astype(np.float32)
+            for k in range(self.n_dets):
+                if k < len(boxes):
+                    y1, x1, y2, x2 = boxes[k]
+                    dy, dx = rng.randint(-6, 7, 2)
+                    ms[k, max(y1 + dy, 0):y2 + dy, max(x1 + dx, 0):x2 + dx] = True
+                else:
+                    y = rng.randint(0, h - 60)
+                    x = rng.randint(0, w - 60)
+                    ms[k, y:y + 50, x:x + 50] = True
+            bboxes.append(np.zeros((self.n_dets, 4), np.float32))
+            masks.append(ms)
+            labels.append(ls)
+            scores.append(ss)
+        return bboxes, masks, labels, scores
+
+
+def rss_gb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--images", type=int, default=5000)
+    parser.add_argument("--dets", type=int, default=100)
+    parser.add_argument("--rss-limit-gb", type=float, default=8.0)
+    args = parser.parse_args()
+
+    from mask_rcnn_tpu.engine.evaluator import InstanceSegmentationEvaluator
+
+    ds = SyntheticCOCOScaleDataset(args.images)
+    model = FakePredictModel(ds, args.dets)
+    class_names = [f"c{i}" for i in range(80)]
+    ev = InstanceSegmentationEvaluator(ds, class_names, kind="coco",
+                                       batch_size=4)
+    rss0 = rss_gb()
+    t0 = time.time()
+    report = ev(model)
+    dt = time.time() - t0
+    peak = rss_gb()
+    naive_gb = args.images * args.dets * 800 * 1216 / 1e9
+    print(f"images={args.images} dets/img={args.dets}")
+    print(f"map={report.get('validation/main/map', float('nan')):.4f}")
+    print(f"elapsed: {dt:.1f}s ({args.images / dt:.1f} img/s scoring)")
+    print(f"peak RSS: {peak:.2f} GB (start {rss0:.2f} GB); "
+          f"mask bytes if retained as lists: ~{naive_gb:.0f} GB")
+    ok = peak < args.rss_limit_gb
+    print("RSS BOUNDED: " + ("OK" if ok else "FAIL"))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

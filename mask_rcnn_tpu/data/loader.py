@@ -153,7 +153,11 @@ class TrainLoader:
         idx = idx[self.process_index * per:(self.process_index + 1) * per]
         if self.aspect_flags is not None:
             # Stable-partition the shard by orientation, form whole batches
-            # within each group, then shuffle batch order.
+            # within each group, then shuffle batch order. The per-group
+            # remainders (< batch_size each) are dropped this epoch; the
+            # drop is recorded and logged, and varies with each epoch's
+            # shuffle — so per-epoch batch counts are NOT constant and
+            # resume positions must be derived with position_for_step().
             land = idx[self.aspect_flags[idx]]
             port = idx[~self.aspect_flags[idx]]
             b = self.batch_size
@@ -163,21 +167,57 @@ class TrainLoader:
                 for i in range(0, len(grp) - b + 1, b)
             ]
             order = rng.permutation(len(batches))
+            n_before = len(idx)
             if batches:
                 idx = np.concatenate([batches[i] for i in order])
             else:
                 idx = idx[:0]
+            self._last_drop = (epoch, n_before - len(idx))
+        else:
+            self._last_drop = (epoch, len(idx) % self.batch_size)
         return idx
 
-    def _make_batches(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+    def batches_in_epoch(self, epoch: int) -> int:
+        return len(self.epoch_indices(epoch)) // self.batch_size
+
+    def position_for_step(self, global_step: int):
+        """(epoch, step-within-epoch) after ``global_step`` completed steps.
+
+        Walks actual per-epoch batch counts instead of dividing by a
+        constant: with aspect grouping each epoch drops a shuffle-dependent
+        remainder per orientation group, so epoch lengths differ and
+        ``step // steps_per_epoch`` would resume at the wrong position.
+        """
+        epoch, remaining = 0, global_step
+        while True:
+            n = self.batches_in_epoch(epoch)
+            if n <= 0:
+                return epoch, 0
+            if remaining < n:
+                return epoch, remaining
+            remaining -= n
+            epoch += 1
+
+    def _make_batches(
+        self, epoch: int, skip: int = 0
+    ) -> Iterator[Dict[str, np.ndarray]]:
         idx = self.epoch_indices(epoch)
         nb = len(idx) // self.batch_size
+        drop_epoch, dropped = getattr(self, "_last_drop", (epoch, 0))
+        if dropped and skip == 0:
+            print(
+                f"[TrainLoader] epoch {epoch}: {dropped} image(s) dropped "
+                f"by batch formation (aspect-group/batch remainder), "
+                f"{nb} batches kept"
+            )
         # uint8 transforms: pad the image margin at the (rounded) pixel
         # mean so it lands at ~0 after on-device mean subtraction.
         fill = None
         if getattr(self.transform, "keep_uint8", False):
             fill = np.round(self.transform.mean).astype(np.uint8)
-        for b in range(nb):
+        # Resume fast-forward skips at the index level: no decode/transform
+        # runs for skipped batches.
+        for b in range(skip, nb):
             batch_idx = idx[b * self.batch_size:(b + 1) * self.batch_size]
             examples = [
                 self.transform(self.dataset[int(i)]) for i in batch_idx
@@ -187,16 +227,23 @@ class TrainLoader:
                 image_fill=fill,
             )
 
-    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
-        """Prefetching iterator over one epoch."""
+    def epoch(
+        self, epoch: int, skip: int = 0
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Prefetching iterator over one epoch (optionally resuming after
+        ``skip`` already-consumed batches). A decode/transform error in the
+        worker thread is re-raised here — the epoch must not silently end
+        early on a bad example."""
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         sentinel = object()
 
         def worker():
             try:
-                for batch in self._make_batches(epoch):
+                for batch in self._make_batches(epoch, skip):
                     q.put(batch)
-            finally:
+            except BaseException as e:  # surfaced in the consumer
+                q.put(e)
+            else:
                 q.put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
@@ -205,6 +252,10 @@ class TrainLoader:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                raise RuntimeError(
+                    f"TrainLoader worker failed in epoch {epoch}"
+                ) from item
             yield item
 
     def steps_per_epoch(self) -> int:

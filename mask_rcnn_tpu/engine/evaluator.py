@@ -10,8 +10,8 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-from mask_rcnn_tpu.utils.cocoeval import eval_instseg_coco
-from mask_rcnn_tpu.utils.voc_eval import eval_instseg_voc
+from mask_rcnn_tpu.utils.cocoeval import COCOEvaluation
+from mask_rcnn_tpu.utils.voc_eval import VOCEvaluation
 from mask_rcnn_tpu.utils.visualizations import (
     get_tile_image,
     visualize_instance_segmentation,
@@ -47,8 +47,6 @@ class InstanceSegmentationEvaluator:
     def __call__(self, model) -> Dict[str, float]:
         import jax
 
-        pred_masks, pred_labels, pred_scores = [], [], []
-        gt_masks, gt_labels, gt_crowds, gt_areas = [], [], [], []
         n = len(self.dataset)
         if self.max_examples:
             n = min(n, self.max_examples)
@@ -66,6 +64,19 @@ class InstanceSegmentationEvaluator:
         if mesh is not None:
             batch_size = max(batch_size, mesh.devices.size)
 
+        # Streaming accumulation: each batch's full-resolution masks are
+        # matched into compact per-(image, class) IoU/score records right
+        # after predict and then freed — a COCO-minival-scale sweep (5k
+        # images x 100 dets x ~1 MP bool masks would be ~100+ GB as lists)
+        # stays at a bounded RSS. Reference analog: streaming
+        # apply_to_iterator -> eval_instseg_coco
+        # (extensions/instance_segmentation_coco_evaluator.py:36-52).
+        ev = (
+            COCOEvaluation("segm")
+            if self.kind == "coco"
+            else VOCEvaluation(use_07_metric=self.use_07_metric)
+        )
+        n_added = 0
         for start in range(0, len(indices), batch_size):
             examples = [
                 self.dataset[i]
@@ -75,22 +86,23 @@ class InstanceSegmentationEvaluator:
                     for e in examples]
             bboxes, masks, labels, scores = model.predict(imgs)
             for e, mk, lb, sc in zip(examples, masks, labels, scores):
-                pred_masks.append(mk)
-                pred_labels.append(lb)
-                pred_scores.append(sc)
-                gt_labels.append(e[2])
-                gt_masks.append(np.asarray(e[3], bool))
-                gt_crowds.append(e[4] if len(e) > 4 else None)
-                gt_areas.append(e[5] if len(e) > 5 else None)
+                gt_mask = np.asarray(e[3], bool)
+                if self.kind == "coco":
+                    ev.add(
+                        mk, lb, sc, gt_mask, e[2],
+                        e[4] if len(e) > 4 else None,
+                        e[5] if len(e) > 5 else None,
+                    )
+                else:
+                    ev.add(mk, lb, sc, gt_mask, e[2])
+                n_added += 1
 
+        # An empty shard (more processes than examples) reports no keys —
+        # it must still reach the collective aggregation below, where its
+        # all-NaN vector is ignored by the nanmean.
         report = {}
-        if self.kind == "coco":
-            res = eval_instseg_coco(
-                pred_masks, pred_labels, pred_scores,
-                gt_masks, gt_labels,
-                gt_crowds if any(c is not None for c in gt_crowds) else None,
-                gt_areas if any(a is not None for a in gt_areas) else None,
-            )
+        if n_added and self.kind == "coco":
+            res = ev.results()
             report["validation/main/map"] = res[
                 "map/iou=0.50:0.95/area=all/maxDets=100"
             ]
@@ -106,11 +118,8 @@ class InstanceSegmentationEvaluator:
                     report[
                         f"validation/main/ap/{self.class_names[cid]}"
                     ] = float(ap)
-        else:
-            res = eval_instseg_voc(
-                pred_masks, pred_labels, pred_scores, gt_masks, gt_labels,
-                use_07_metric=self.use_07_metric,
-            )
+        elif n_added:
+            res = ev.results()
             report["validation/main/map"] = res["map"]
             for cid, ap in enumerate(res["ap"]):
                 if not np.isnan(ap) and cid < len(self.class_names):

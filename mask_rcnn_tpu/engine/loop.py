@@ -145,17 +145,17 @@ def train(
     # Bit-faithful resume: restart at the epoch/position the restored step
     # had reached, so interrupted+resumed sees the exact same data sequence
     # as an uninterrupted run (the loader's epoch shuffle is a pure function
-    # of (seed, epoch)).
-    epoch = it // steps_per_epoch if steps_per_epoch else 0
-    skip = it % steps_per_epoch if steps_per_epoch else 0
+    # of (seed, epoch)). Positions are derived from actual per-epoch batch
+    # counts — with aspect grouping those vary per epoch, so dividing by a
+    # constant steps_per_epoch would resume at the wrong batch.
+    epoch, skip = train_loader.position_for_step(it)
     eval_every = max(int(eval_interval_epochs * steps_per_epoch), 1)
 
     base_rng = jax.device_put(jax.random.PRNGKey(seed), rep)
 
     while it < stop_step:
-        batches = iter(train_loader.epoch(epoch))
-        for _ in range(skip):
-            next(batches, None)
+        # index-level fast-forward: skipped batches are never decoded
+        batches = train_loader.epoch(epoch, skip=skip)
         skip = 0
         for batch in batches:
             if it >= stop_step:

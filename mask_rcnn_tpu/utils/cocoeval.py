@@ -172,12 +172,17 @@ class COCOEvaluation:
             gt_crowds = np.zeros(g, bool)
         gt_crowds = np.asarray(gt_crowds).astype(bool)
         if self.iou_type == "segm":
-            det_area = np.asarray(
-                [m.sum() for m in pred_masks], np.float64
+            # materialize once per image, not once per category below
+            pred_masks = (
+                np.asarray(pred_masks, bool)
+                if d
+                else np.zeros((0, 1, 1), bool)
             )
-            gt_area_dflt = np.asarray(
-                [m.sum() for m in gt_masks], np.float64
+            gt_masks = (
+                np.asarray(gt_masks, bool) if g else np.zeros((0, 1, 1), bool)
             )
+            det_area = pred_masks.sum(axis=(1, 2)).astype(np.float64)
+            gt_area_dflt = gt_masks.sum(axis=(1, 2)).astype(np.float64)
         else:
             pred_masks = None
             det_area = np.prod(
@@ -203,13 +208,12 @@ class COCOEvaluation:
             d_sel = order[np.asarray(pred_labels)[order] == cat]
             g_sel = np.flatnonzero(np.asarray(gt_labels) == cat)
             if self.iou_type == "segm":
-                pm = np.asarray(pred_masks, bool)
-                gm = np.asarray(gt_masks, bool)
                 if len(d_sel) == 0 or len(g_sel) == 0:
                     ious = np.zeros((len(d_sel), len(g_sel)), np.float64)
                 else:
                     ious = mask_iou_matrix(
-                        pm[d_sel], gm[g_sel], gt_crowds[g_sel]
+                        pred_masks[d_sel], gt_masks[g_sel],
+                        gt_crowds[g_sel],
                     )
             else:
                 ious = box_iou_matrix(

@@ -49,6 +49,83 @@ def calc_detection_voc_ap(prec, rec, use_07_metric=False) -> np.ndarray:
     return ap
 
 
+class VOCEvaluation:
+    """Streaming accumulator for the VOC instance-seg metric: feed one image
+    at a time with ``add()`` (only per-class score/match lists are retained,
+    never the masks), then ``results()``. Per-image matching is identical to
+    ``eval_instseg_voc``."""
+
+    def __init__(self, iou_thresh: float = 0.5, use_07_metric: bool = False):
+        self.iou_thresh = iou_thresh
+        self.use_07_metric = use_07_metric
+        self._n_pos: Dict[int, int] = defaultdict(int)
+        self._score: Dict[int, List[float]] = defaultdict(list)
+        self._match: Dict[int, List[int]] = defaultdict(list)
+
+    def add(self, p_masks, p_labels, p_scores, g_masks, g_labels,
+            g_difficult=None):
+        p_labels = np.asarray(p_labels)
+        p_scores = np.asarray(p_scores)
+        g_labels = np.asarray(g_labels)
+        if g_difficult is None:
+            g_difficult = np.zeros(len(g_labels), bool)
+        else:
+            g_difficult = np.asarray(g_difficult, bool)
+        for lbl in np.unique(
+            np.concatenate([p_labels, g_labels]).astype(int)
+        ):
+            pi = np.flatnonzero(p_labels == lbl)
+            gi = np.flatnonzero(g_labels == lbl)
+            diff_l = g_difficult[gi]
+            self._n_pos[lbl] += int(np.logical_not(diff_l).sum())
+            order = np.argsort(-p_scores[pi], kind="stable")
+            pi = pi[order]
+            self._score[lbl].extend(p_scores[pi].tolist())
+            if len(pi) == 0:
+                continue
+            if len(gi) == 0:
+                self._match[lbl].extend([0] * len(pi))
+                continue
+            # argmax-IoU assignment per prediction (chainercv selec logic):
+            # a TP requires the argmax gt itself to be unselected — a better-
+            # but-taken gt does NOT fall through to the next-best gt.
+            iou = np.array(
+                [[mask_iou(p_masks[p], g_masks[g]) for g in gi] for p in pi]
+            )
+            gt_index = iou.argmax(axis=1)
+            gt_index[iou.max(axis=1) < self.iou_thresh] = -1
+            selec = np.zeros(len(gi), bool)
+            for gt_idx in gt_index:
+                if gt_idx >= 0:
+                    if diff_l[gt_idx]:
+                        self._match[lbl].append(-1)
+                    elif not selec[gt_idx]:
+                        self._match[lbl].append(1)
+                    else:
+                        self._match[lbl].append(0)
+                    selec[gt_idx] = True
+                else:
+                    self._match[lbl].append(0)
+
+    def results(self) -> Dict:
+        n_fg = max(self._n_pos.keys(), default=-1) + 1
+        prec: List = [None] * n_fg
+        rec: List = [None] * n_fg
+        for lbl in self._n_pos:
+            s = np.asarray(self._score[lbl])
+            m = np.asarray(self._match[lbl])
+            order = np.argsort(-s, kind="stable")
+            m = m[order]
+            tp = np.cumsum(m == 1)
+            fp = np.cumsum(m == 0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                prec[lbl] = tp / (tp + fp)
+            rec[lbl] = tp / self._n_pos[lbl] if self._n_pos[lbl] > 0 else None
+
+        ap = calc_detection_voc_ap(prec, rec, self.use_07_metric)
+        return {"ap": ap, "map": float(np.nanmean(ap))}
+
+
 def eval_instseg_voc(
     pred_masks,
     pred_labels,
@@ -60,70 +137,10 @@ def eval_instseg_voc(
     use_07_metric: bool = False,
 ) -> Dict:
     """Returns {'ap': (K,) array, 'map': float}."""
-    n_pos: Dict[int, int] = defaultdict(int)
-    score: Dict[int, List[float]] = defaultdict(list)
-    match: Dict[int, List[int]] = defaultdict(list)
-
+    ev = VOCEvaluation(iou_thresh=iou_thresh, use_07_metric=use_07_metric)
     if gt_difficults is None:
         gt_difficults = [None] * len(gt_masks)
-
-    for p_masks, p_labels, p_scores, g_masks, g_labels, g_difficult in zip(
-        pred_masks, pred_labels, pred_scores, gt_masks, gt_labels, gt_difficults
-    ):
-        p_labels = np.asarray(p_labels)
-        p_scores = np.asarray(p_scores)
-        g_labels = np.asarray(g_labels)
-        if g_difficult is None:
-            g_difficult = np.zeros(len(g_labels), bool)
-        else:
-            g_difficult = np.asarray(g_difficult, bool)
-        for lbl in np.unique(np.concatenate([p_labels, g_labels]).astype(int)):
-            pi = np.flatnonzero(p_labels == lbl)
-            gi = np.flatnonzero(g_labels == lbl)
-            diff_l = g_difficult[gi]
-            n_pos[lbl] += int(np.logical_not(diff_l).sum())
-            order = np.argsort(-p_scores[pi], kind="stable")
-            pi = pi[order]
-            score[lbl].extend(p_scores[pi].tolist())
-            if len(pi) == 0:
-                continue
-            if len(gi) == 0:
-                match[lbl].extend([0] * len(pi))
-                continue
-            # argmax-IoU assignment per prediction (chainercv selec logic):
-            # a TP requires the argmax gt itself to be unselected — a better-
-            # but-taken gt does NOT fall through to the next-best gt.
-            iou = np.array(
-                [[mask_iou(p_masks[p], g_masks[g]) for g in gi] for p in pi]
-            )
-            gt_index = iou.argmax(axis=1)
-            gt_index[iou.max(axis=1) < iou_thresh] = -1
-            selec = np.zeros(len(gi), bool)
-            for gt_idx in gt_index:
-                if gt_idx >= 0:
-                    if diff_l[gt_idx]:
-                        match[lbl].append(-1)
-                    elif not selec[gt_idx]:
-                        match[lbl].append(1)
-                    else:
-                        match[lbl].append(0)
-                    selec[gt_idx] = True
-                else:
-                    match[lbl].append(0)
-
-    n_fg = max(n_pos.keys(), default=-1) + 1
-    prec: List = [None] * n_fg
-    rec: List = [None] * n_fg
-    for lbl in n_pos:
-        s = np.asarray(score[lbl])
-        m = np.asarray(match[lbl])
-        order = np.argsort(-s, kind="stable")
-        m = m[order]
-        tp = np.cumsum(m == 1)
-        fp = np.cumsum(m == 0)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            prec[lbl] = tp / (tp + fp)
-        rec[lbl] = tp / n_pos[lbl] if n_pos[lbl] > 0 else None
-
-    ap = calc_detection_voc_ap(prec, rec, use_07_metric)
-    return {"ap": ap, "map": float(np.nanmean(ap))}
+    for args in zip(pred_masks, pred_labels, pred_scores, gt_masks,
+                    gt_labels, gt_difficults):
+        ev.add(*args)
+    return ev.results()

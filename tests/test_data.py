@@ -116,6 +116,148 @@ def test_aspect_ratio_grouping():
     assert not np.array_equal(idx, idx2)
 
 
+class _TinyDS:
+    """Minimal dataset yielding (img, bbox, label, mask) tuples."""
+
+    def __init__(self, n=8, sizes=None):
+        self.n = n
+        self.sizes = sizes
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return make_example(h=40, w=64, r=1, seed=i)
+
+    def image_sizes(self):
+        return self.sizes
+
+
+def _identity_transform(example):
+    img, bboxes, labels, masks = example
+    return img.astype(np.float32), bboxes, labels, masks, 1.0
+
+
+def test_loader_worker_exception_propagates():
+    """A decode/transform error must fail the epoch loudly, not silently
+    truncate it (the worker used to swallow exceptions and enqueue the
+    end-of-epoch sentinel)."""
+    import pytest
+
+    from mask_rcnn_tpu.data.loader import TrainLoader
+
+    calls = []
+
+    def bad_transform(example):
+        calls.append(1)
+        if len(calls) == 3:
+            raise ValueError("corrupt example")
+        return _identity_transform(example)
+
+    loader = TrainLoader(
+        _TinyDS(n=8), bad_transform, batch_size=2,
+        max_boxes=2, min_size=40, max_size=64,
+    )
+    with pytest.raises(RuntimeError, match="worker failed"):
+        list(loader.epoch(0))
+
+
+def test_loader_logs_remainder_drop(capsys):
+    from mask_rcnn_tpu.data.loader import TrainLoader
+
+    # 10 examples, batch 4 -> 2 dropped per epoch (no aspect flags)
+    loader = TrainLoader(
+        _TinyDS(n=10), _identity_transform, batch_size=4,
+        max_boxes=2, min_size=40, max_size=64,
+    )
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2
+    out = capsys.readouterr().out
+    assert "2 image(s) dropped" in out
+
+
+def test_index_level_skip_does_not_decode():
+    """Resume fast-forward must not run the transform for skipped batches."""
+    from mask_rcnn_tpu.data.loader import TrainLoader
+
+    calls = []
+
+    def counting_transform(example):
+        calls.append(1)
+        return _identity_transform(example)
+
+    loader = TrainLoader(
+        _TinyDS(n=8), counting_transform, batch_size=2,
+        max_boxes=2, min_size=40, max_size=64,
+    )
+    full = list(loader.epoch(0))
+    assert len(full) == 4 and len(calls) == 8
+    calls.clear()
+    resumed = list(loader.epoch(0, skip=3))
+    assert len(resumed) == 1
+    assert len(calls) == 2, "skipped batches must not be decoded"
+    np.testing.assert_array_equal(resumed[0]["scale"], full[3]["scale"])
+    np.testing.assert_array_equal(resumed[0]["bbox"], full[3]["bbox"])
+
+
+def test_position_for_step_walks_varying_epoch_lengths():
+    """With aspect grouping + per-host sharding, each epoch's batch count
+    depends on that epoch's shuffle; resume positions must walk the actual
+    counts, not divide by a constant steps_per_epoch."""
+    from mask_rcnn_tpu.data.loader import TrainLoader
+
+    rng = np.random.RandomState(7)
+    sizes = [(50, 100) if rng.rand() < 0.5 else (100, 50) for _ in range(21)]
+    loader = TrainLoader(
+        _TinyDS(n=21, sizes=sizes), _identity_transform, batch_size=3,
+        max_boxes=2, min_size=40, max_size=64,
+        process_index=0, process_count=2,
+    )
+    counts = [loader.batches_in_epoch(e) for e in range(8)]
+    assert len(set(counts)) > 1, (
+        "fixture must exercise varying epoch lengths; got " + str(counts)
+    )
+    # after exactly epochs 0+1 completed, position is the start of epoch 2
+    step = counts[0] + counts[1]
+    assert loader.position_for_step(step) == (2, 0)
+    assert loader.position_for_step(step + 1) == (2, 1)
+    assert loader.position_for_step(0) == (0, 0)
+    # a naive constant-division resume would disagree somewhere in 6 epochs
+    spe = loader.steps_per_epoch()
+    total = sum(counts)
+    naive = [(s // spe, s % spe) for s in range(total)]
+    walked = [loader.position_for_step(s) for s in range(total)]
+    assert naive != walked
+
+
+def test_resumed_batches_match_uninterrupted_with_aspect_grouping():
+    """epoch(e, skip) after position_for_step must reproduce the exact batch
+    sequence of an uninterrupted run, under varying per-epoch lengths."""
+    from mask_rcnn_tpu.data.loader import TrainLoader
+
+    rng = np.random.RandomState(3)
+    sizes = [(50, 100) if rng.rand() < 0.5 else (100, 50) for _ in range(13)]
+    loader = TrainLoader(
+        _TinyDS(n=13, sizes=sizes), _identity_transform, batch_size=2,
+        max_boxes=2, min_size=40, max_size=64,
+        process_index=1, process_count=2,
+    )
+    # uninterrupted stream of the first 3 epochs
+    stream = []
+    for e in range(3):
+        stream.extend(loader.epoch(e))
+    # resume at an arbitrary global step inside epoch 1 or 2
+    step = loader.batches_in_epoch(0) + 1
+    e, skip = loader.position_for_step(step)
+    resumed = list(loader.epoch(e, skip=skip))
+    np.testing.assert_array_equal(
+        resumed[0]["bbox"], stream[step]["bbox"]
+    )
+    np.testing.assert_array_equal(
+        resumed[0]["image"], stream[step]["image"]
+    )
+
+
 def test_remat_grads_match():
     import jax
     import jax.numpy as jnp

@@ -178,3 +178,37 @@ def test_coco_bbox_mode():
     )
     res = ev.results()
     assert res["map/iou=0.50:0.95/area=all/maxDets=100"] == 1.0
+
+
+def test_coco_evaluation_retains_only_compact_records():
+    """Streaming ingestion must not retain full-resolution masks: the
+    per-image records (IoU matrices + scores + areas) must be orders of
+    magnitude smaller than the ingested mask bytes — this is what bounds
+    RSS on a COCO-minival-scale sweep."""
+    ev = COCOEvaluation("segm")
+    h, w = 800, 1280  # ~1 MP, COCO scale
+    mask_bytes = 0
+    for i in range(3):
+        rng = np.random.RandomState(i)
+        pred = rng.rand(20, h, w) > 0.7
+        gt = rng.rand(4, h, w) > 0.7
+        mask_bytes += pred.nbytes + gt.nbytes
+        ev.add(
+            pred, rng.randint(0, 3, 20), rng.rand(20),
+            gt, rng.randint(0, 3, 4),
+        )
+
+    def record_bytes(obj):
+        if isinstance(obj, np.ndarray):
+            return obj.nbytes
+        if isinstance(obj, dict):
+            return sum(record_bytes(v) for v in obj.values())
+        if isinstance(obj, (list, tuple)):
+            return sum(record_bytes(v) for v in obj)
+        return 64  # scalar bound
+
+    retained = record_bytes(ev._per_image)
+    assert retained < mask_bytes / 1000, (retained, mask_bytes)
+    assert np.isfinite(
+        ev.results()["map/iou=0.50:0.95/area=all/maxDets=100"]
+    )

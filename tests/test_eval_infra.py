@@ -105,6 +105,128 @@ def test_report_vector_roundtrip_and_nanmean():
     assert "validation/main/map@0.75" not in agg
 
 
+class _FakeEvalDataset:
+    """Synthetic instance-seg dataset with crowd/area extras."""
+
+    def __init__(self, n=6, h=60, w=80, with_extras=True):
+        self.n, self.h, self.w = n, h, w
+        self.with_extras = with_extras
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rng = np.random.RandomState(100 + i)
+        img = rng.randint(0, 255, (self.h, self.w, 3)).astype(np.uint8)
+        masks, labels = [], []
+        for k in range(2):
+            m = np.zeros((self.h, self.w), np.int32)
+            y, x = rng.randint(5, 25), rng.randint(5, 35)
+            m[y:y + 20, x:x + 25] = 1
+            masks.append(m)
+            labels.append(k)
+        bboxes = np.asarray(
+            [[5, 5, 25, 30], [10, 10, 30, 35]], np.float32
+        )
+        out = [img, bboxes, np.asarray(labels, np.int32),
+               np.asarray(masks, np.int32)]
+        if self.with_extras:
+            out.append(np.asarray([0, 0], np.int32))  # crowds
+            out.append(np.asarray([500.0, 500.0], np.float32))  # areas
+        return tuple(out)
+
+
+class _FakePredictModel:
+    """Deterministic predictions: the gt masks shifted by 2px + one noise
+    detection, so the metric is non-trivial but reproducible."""
+
+    def predict(self, imgs):
+        bboxes, masks, labels, scores = [], [], [], []
+        for img in imgs:
+            _, h, w = img.shape
+            seed = int(img.astype(np.int64).sum() % (2**31))
+            rng = np.random.RandomState(seed)
+            ms, ls, ss = [], [], []
+            for k in range(2):
+                m = np.zeros((h, w), bool)
+                y, x = 7 + k * 5, 7 + k * 5
+                m[y:y + 20, x:x + 25] = True
+                ms.append(m)
+                ls.append(k)
+                ss.append(0.9 - 0.1 * k)
+            noise = np.zeros((h, w), bool)
+            noise[:10, :10] = True
+            ms.append(noise)
+            ls.append(rng.randint(0, 2))
+            ss.append(0.2)
+            masks.append(np.asarray(ms))
+            labels.append(np.asarray(ls, np.int32))
+            scores.append(np.asarray(ss, np.float32))
+            bboxes.append(np.zeros((3, 4), np.float32))
+        return bboxes, masks, labels, scores
+
+
+@pytest.mark.parametrize("kind", ["coco", "voc"])
+def test_streaming_evaluator_matches_list_based(kind):
+    """The streaming __call__ (per-batch ev.add, masks freed immediately)
+    must produce exactly the old collect-everything-then-score results."""
+    from mask_rcnn_tpu.engine.evaluator import InstanceSegmentationEvaluator
+    from mask_rcnn_tpu.utils.cocoeval import eval_instseg_coco
+    from mask_rcnn_tpu.utils.voc_eval import eval_instseg_voc
+
+    ds = _FakeEvalDataset(n=6, with_extras=(kind == "coco"))
+    model = _FakePredictModel()
+    ev = InstanceSegmentationEvaluator(
+        ds, ["cls0", "cls1"], kind=kind, batch_size=4
+    )
+    report = ev(model)
+
+    # reproduce with the list-based reference path
+    pred_masks, pred_labels, pred_scores = [], [], []
+    gt_masks, gt_labels, gt_crowds, gt_areas = [], [], [], []
+    for i in range(len(ds)):
+        e = ds[i]
+        _, mk, lb, sc = model.predict(
+            [e[0].transpose(2, 0, 1).astype(np.float32)]
+        )
+        pred_masks.append(mk[0])
+        pred_labels.append(lb[0])
+        pred_scores.append(sc[0])
+        gt_masks.append(np.asarray(e[3], bool))
+        gt_labels.append(e[2])
+        if kind == "coco":
+            gt_crowds.append(e[4])
+            gt_areas.append(e[5])
+    if kind == "coco":
+        res = eval_instseg_coco(
+            pred_masks, pred_labels, pred_scores, gt_masks, gt_labels,
+            gt_crowds, gt_areas,
+        )
+        want = res["map/iou=0.50:0.95/area=all/maxDets=100"]
+    else:
+        res = eval_instseg_voc(
+            pred_masks, pred_labels, pred_scores, gt_masks, gt_labels
+        )
+        want = res["map"]
+    got = report["validation/main/map"]
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+    assert report["validation/main/ap/cls0"] >= 0.0
+
+
+def test_evaluator_empty_shard_reports_no_keys():
+    """A process with zero examples must produce an empty report (all-NaN
+    aggregation vector) instead of dying before the collective."""
+    from mask_rcnn_tpu.engine.evaluator import InstanceSegmentationEvaluator
+
+    ev = InstanceSegmentationEvaluator(
+        _FakeEvalDataset(n=0), ["cls0", "cls1"], kind="coco"
+    )
+    report = ev(_FakePredictModel())
+    assert report == {}
+    vec = ev._report_to_vector(report)
+    assert np.all(np.isnan(vec))
+
+
 def _read_losses(out_dir):
     with open(osp.join(out_dir, "log")) as f:
         entries = json.load(f)
