@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""FLOPs / MFU accounting for R-50-C4 at COCO scale on one TPU chip.
+
+Measures the jitted inference and train steps (f32 and bf16) at 832x1344,
+reads the compiled graph's FLOP count from XLA cost analysis, and prints
+achieved TFLOP/s + MFU against the chip's bf16 peak. Also splits the train
+step into forward-loss vs full fwd+bwd+update time so backward-pass work is
+attributable (VERDICT round-2 directive #4).
+
+Usage: ./examples/mfu_report.py [--batch 2] [--dets 512]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
+
+# TPU v5e (v5 lite) public peak: 197 TFLOP/s bf16. f32 matmuls run as
+# multiple bf16 passes, so MFU is reported against the bf16 peak for both.
+PEAK_FLOPS = 197e12
+
+
+def timed(fn, sync, iters=10, warmup=3):
+    for _ in range(warmup):
+        out = fn()
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def graph_flops(lowered_compiled):
+    try:
+        ca = lowered_compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", float("nan")))
+    except Exception:
+        return float("nan")
+
+
+def make_batch(n, h, w, rng):
+    from mask_rcnn_tpu.data.loader import pack_mask_bits
+
+    g = 8
+    images = (rng.randn(n, h, w, 3) * 60).astype(np.float32)
+    bbox = np.zeros((n, g, 4), np.float32)
+    label = np.zeros((n, g), np.int32)
+    valid = np.ones((n, g), bool)
+    mask = np.zeros((n, g, h, w), np.uint8)
+    for i in range(n):
+        for k in range(g):
+            y1 = rng.randint(0, h - 200)
+            x1 = rng.randint(0, w - 200)
+            y2, x2 = y1 + rng.randint(60, 200), x1 + rng.randint(60, 200)
+            bbox[i, k] = (y1, x1, y2, x2)
+            label[i, k] = rng.randint(0, 80)
+            mask[i, k, y1:y2, x1:x2] = 1
+    return {
+        "image": images,
+        "bbox": bbox,
+        "label": label,
+        "bbox_valid": valid,
+        "mask": pack_mask_bits(mask),
+        "scale": np.full((n,), 1.25, np.float32),
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=2)
+    parser.add_argument("--iters", type=int, default=10)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mask_rcnn_tpu.engine import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from mask_rcnn_tpu.models import MaskRCNNConfig, init_params, predict_step
+    from mask_rcnn_tpu.models.train_model import train_loss
+
+    h, w = 832, 1344
+    n = args.batch
+    rng = np.random.RandomState(0)
+    batch = {k: jax.device_put(v) for k, v in make_batch(n, h, w, rng).items()}
+    images1 = jax.device_put(
+        jnp.asarray((rng.randn(1, h, w, 3) * 60).astype(np.float32))
+    )
+    sizes1 = jax.device_put(jnp.asarray([[640.0, 1066.0]], np.float32))
+    scales1 = jax.device_put(jnp.asarray([1.25], np.float32))
+    key = jax.device_put(jax.random.PRNGKey(0))
+
+    def emit(name, t, fl, imgs):
+        tf = fl / t / 1e12 if np.isfinite(fl) else float("nan")
+        mfu = tf * 1e12 / PEAK_FLOPS
+        print(f"{name:28s} {t*1e3:8.1f} {fl/1e9:9.1f} {tf:8.1f} "
+              f"{mfu:6.1%} {imgs:7.1f}", flush=True)
+
+    print(f"R-50-C4 @ {h}x{w}, TPU v5e (peak {PEAK_FLOPS/1e12:.0f} TF bf16)")
+    print(f"{'stage':28s} {'ms':>8s} {'GFLOP':>9s} {'TFLOP/s':>8s} "
+          f"{'MFU':>6s} {'img/s':>7s}")
+    for dtype in ("float32", "bfloat16"):
+        cfg = MaskRCNNConfig(
+            n_fg_class=80,
+            n_layers=50,
+            min_size=800,
+            max_size=1333,
+            anchor_scales=(2.0, 4.0, 8.0, 16.0, 32.0),
+            compute_dtype=dtype,
+        )
+        params = jax.device_put(init_params(jax.random.PRNGKey(0), cfg))
+        optimizer, _ = make_optimizer(params, 0.02, 1000)
+        state = jax.device_put(create_train_state(params, optimizer))
+
+        # inference
+        infer = jax.jit(lambda p, i, s, sc: predict_step(p, cfg, i, s, sc))
+        lowered = infer.lower(params, images1, sizes1, scales1).compile()
+        t = timed(
+            lambda: infer(params, images1, sizes1, scales1),
+            lambda o: np.asarray(o["scores"][0, 0]),
+            iters=args.iters,
+        )
+        fl = graph_flops(lowered)
+        emit(f"infer b1 {dtype}", t, fl, 1 / t)
+
+        # forward loss only
+        fwd = jax.jit(lambda p, b, k: train_loss(p, cfg, b, k)[0])
+        lowered = fwd.lower(params, batch, key).compile()
+        t = timed(
+            lambda: fwd(params, batch, key),
+            lambda o: float(o),
+            iters=args.iters,
+        )
+        fl = graph_flops(lowered)
+        emit(f"train fwd-loss b{n} {dtype}", t, fl, n / t)
+
+        # full train step
+        step = jax.jit(make_train_step(cfg, optimizer))
+        lowered = step.lower(state, batch, key).compile()
+
+        def run_step():
+            new_state, metrics = step(state, batch, key)
+            return metrics
+
+        t = timed(
+            run_step, lambda m: float(m["loss"]), iters=args.iters
+        )
+        fl = graph_flops(lowered)
+        emit(f"train step b{n} {dtype}", t, fl, n / t)
+
+
+if __name__ == "__main__":
+    main()

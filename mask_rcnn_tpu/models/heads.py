@@ -42,13 +42,20 @@ def head_forward(
     pred_mask=True,
     pooling_func=roi_align,
     sampling_ratio=0,
+    mask_subset=None,
 ):
     """Run the RoI head.
+
+    ``mask_subset``: optional (M,) row indices of ``rois`` to run the mask
+    branch on (training: only positive samples carry mask targets, so the
+    deconv/mask convs run on pos_ratio of the rois — the box/class branches
+    still see every roi).
 
     Returns dict with any of:
         cls_locs: (R, n_class*4)
         scores: (R, n_class)
-        masks: (R, mask_size, mask_size, n_fg_class) logits, NHWC.
+        masks: (R or len(mask_subset), mask_size, mask_size, n_fg_class)
+            logits, NHWC.
     """
     s5 = roi_size // 7
     if pooling_func is roi_align and s5 > 1:
@@ -81,8 +88,9 @@ def head_forward(
         out["cls_locs"] = p5 @ params["cls_loc"]["W"] + params["cls_loc"]["b"]
         out["scores"] = p5 @ params["score"]["W"] + params["score"]["b"]
     if pred_mask:
+        hm = h if mask_subset is None else jnp.take(h, mask_subset, axis=0)
         d = jax.nn.relu(
-            deconv2x2_s2(h, params["deconv6"]["W"], params["deconv6"]["b"])
+            deconv2x2_s2(hm, params["deconv6"]["W"], params["deconv6"]["b"])
         )
         out["masks"] = (
             jax.lax.conv_general_dilated(

@@ -108,6 +108,16 @@ def train_loss(
     s = proposal_cfg.n_sample
     flat_rois = sample_rois.reshape(n * s, 4)
     flat_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), s)
+    # Only positives carry mask targets, and proposal_targets compacts them
+    # into the first pos_quota slots per image — run the deconv/mask branch
+    # just on those rows (pos_ratio of the rois, exactly the slots whose
+    # loss isn't the -1-ignore constant). Identical loss, ~4x less mask-
+    # branch compute fwd+bwd.
+    q = min(int(round(s * proposal_cfg.pos_ratio)), s)
+    mask_subset = (
+        jnp.arange(n, dtype=jnp.int32)[:, None] * s
+        + jnp.arange(q, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
     head_out = heads.head_forward(
         params["head"],
         feats,
@@ -119,6 +129,7 @@ def train_loss(
         pred_mask=True,
         pooling_func=pooling_func(cfg),
         sampling_ratio=cfg.sampling_ratio,
+        mask_subset=mask_subset,
     )
 
     # ---- RPN losses ----
@@ -153,13 +164,18 @@ def train_loss(
         head_out["scores"].astype(jnp.float32), gt_labels_flat
     )
 
-    mask_logits = head_out["masks"].astype(jnp.float32)  # (NS, M, M, n_fg)
-    sel = jnp.clip(gt_labels_flat - 1, 0)
+    # Mask loss over the positive-candidate slots only — the remaining
+    # slots are all-(-1) ignore (proposal_targets) and contribute nothing
+    # to either the numerator or the normalizer.
+    mask_logits = head_out["masks"].astype(jnp.float32)  # (NQ, M, M, n_fg)
+    mask_labels = gt_labels[:, :q].reshape(-1)
+    sel = jnp.clip(mask_labels - 1, 0)
     picked_masks = jnp.take_along_axis(
         mask_logits, sel[:, None, None, None], axis=-1
     )[..., 0]
     roi_mask_loss = sigmoid_cross_entropy(
-        picked_masks, gt_masks.reshape(n * s, cfg.mask_size, cfg.mask_size)
+        picked_masks,
+        gt_masks[:, :q].reshape(n * q, cfg.mask_size, cfg.mask_size),
     )
 
     loss = (

@@ -96,6 +96,59 @@ def test_parallel_train_step_8_devices():
     assert len(new_state.params["rpn"]["conv1"]["W"].devices()) == 8
 
 
+def test_one_device_vs_eight_device_equality():
+    """The same global batch on a 1-device and an 8-device mesh must produce
+    the same loss/metrics and the same parameter update (reference DP
+    semantics, SURVEY.md §2.6): sharding the batch axis only changes the
+    gradient reduction order, nothing else."""
+    cfg = tiny_cfg()
+    # host copies: the jitted step donates its input state, which would
+    # otherwise invalidate buffers shared between the two mesh runs
+    params = jax.device_get(init_params(jax.random.PRNGKey(0), cfg))
+    optimizer, _ = make_optimizer(params, base_lr=0.01, total_steps=10)
+    step_fn = make_train_step(
+        cfg,
+        optimizer,
+        proposal_cfg=ProposalTargetConfig(n_sample=8),
+        anchor_cfg=AnchorTargetConfig(n_sample=16),
+    )
+    batch = make_tiny_batch(8)
+
+    results = {}
+    for n_dev in (1, 8):
+        mesh = make_mesh(jax.devices()[:n_dev])
+        p_step = make_parallel_train_step(step_fn, mesh)
+        state = jax.device_put(
+            create_train_state(params, optimizer), replicated(mesh)
+        )
+        rng = jax.device_put(jax.random.PRNGKey(1), replicated(mesh))
+        metrics_seq = []
+        for _ in range(2):
+            state, metrics = p_step(state, shard_batch(batch, mesh), rng)
+            metrics_seq.append(
+                {k: float(v) for k, v in jax.device_get(metrics).items()}
+            )
+        results[n_dev] = (metrics_seq, jax.device_get(state.params))
+
+    m1, p1 = results[1]
+    m8, p8 = results[8]
+    for step_m1, step_m8 in zip(m1, m8):
+        assert step_m1.keys() == step_m8.keys()
+        for k in step_m1:
+            # f32 reduction-order reassociation across shards gives
+            # O(sqrt(n)*eps) ~ 1e-5 relative on the element sums
+            np.testing.assert_allclose(
+                step_m1[k], step_m8[k], rtol=5e-5, atol=1e-6,
+                err_msg=f"metric {k} differs between 1- and 8-device meshes",
+            )
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat8 = jax.tree_util.tree_leaves(p8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-6
+        )
+
+
 def test_lr_schedule_steps():
     from mask_rcnn_tpu.engine import step_lr_schedule
 
