@@ -8,6 +8,9 @@ pre-streaming evaluator held every full-resolution mask in RAM (~100+ GB at
 this scale); the streaming path must stay within a few GB.
 
 Usage: ./examples/check_eval_memory.py [--images 5000] [--dets 100]
+
+Recorded result (2026-08-17, 1-core host): 5000 images x 100 dets at
+800x1216 -> peak RSS 0.96 GB (vs ~486 GB of raw mask bytes), 2173 s.
 """
 
 from __future__ import annotations

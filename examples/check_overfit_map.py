@@ -11,11 +11,15 @@ job (reference analog: the published 180k-iter recipes,
 examples/train_common.py:78-354, gated by README.md:28-29 mAP numbers).
 
 Run on a TPU chip:  python examples/check_overfit_map.py --max-epoch 600
-Recorded result (one TPU v5e chip, 2026-08-17): mAP@50 = 0.9752 at 6000
-steps / 3626s from scratch. From-scratch mask learning only breaks through
-around step 1500-2000 and score calibration refines after the LR decay, so
-the 600-epoch schedule (decay at 4000) is the sweet spot; trajectory:
-0.09@1500, 0.58@2000, 0.83@3000, 0.87@4000, 0.96@4500, 0.9752@5500.
+Recorded results (one TPU v5e chip, 2026-08-17), 6000 steps from scratch:
+  round 2: mAP@50 = 0.9752 (3626 s); trajectory 0.09@1500, 0.58@2000,
+  0.83@3000, 0.87@4000, 0.96@4500, 0.9752@5500.
+  round 3 (mask-branch-on-positives train graph): mAP@50 = **0.9826**;
+  trajectory 0.13@1500, 0.49@2000, 0.87@3000, 0.95@4000 — wall 4577 s only
+  because a pytest suite shared the single host core during the run.
+From-scratch mask learning breaks through around step 1500-2000 and score
+calibration refines after the LR decay, so the 600-epoch schedule (decay at
+4000) is the sweet spot.
 """
 
 from __future__ import annotations

@@ -45,22 +45,35 @@ def save_params(path: str, params) -> None:
 def save_train_state(directory: str, state) -> None:
     """Full training-state checkpoint (params + optimizer + step) for
     resume — a capability the reference lacks entirely (SURVEY.md §5:
-    'no optimizer/trainer-state snapshot and no resume path')."""
+    'no optimizer/trainer-state snapshot and no resume path').
+
+    Deliberately collective-free (one flat npz of tree leaves): the train
+    loop calls this on process 0 only, and a checkpointer that runs internal
+    cross-process barriers (orbax does) would deadlock/crash the other
+    ranks' next collective — the exact failure the 2-process full-flow test
+    caught (tests/test_multihost.py::test_two_process_full_train_flow)."""
+    import os
     import os.path as osp
 
-    import orbax.checkpoint as ocp
-
-    with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(
-            osp.abspath(directory), jax.tree.map(np.asarray, state),
-            force=True,
-        )
+    leaves = jax.tree.leaves(jax.tree.map(np.asarray, state))
+    os.makedirs(directory, exist_ok=True)
+    tmp = osp.join(directory, "state.tmp.npz")  # savez appends .npz itself
+    np.savez(tmp, **{f"leaf_{i}": leaf for i, leaf in enumerate(leaves)})
+    os.replace(tmp, osp.join(directory, "state.npz"))
 
 
 def restore_train_state(directory: str, like):
     """Restore a TrainState saved by save_train_state; ``like`` provides
-    the tree structure/dtypes."""
+    the tree structure/dtypes. Falls back to orbax layout for checkpoints
+    written by earlier versions."""
     import os.path as osp
+
+    path = osp.join(directory, "state.npz")
+    structure = jax.tree_util.tree_structure(like)
+    if osp.exists(path):
+        with np.load(path) as data:
+            leaves = [data[f"leaf_{i}"] for i in range(len(data.files))]
+        return jax.tree_util.tree_unflatten(structure, leaves)
 
     import orbax.checkpoint as ocp
 
@@ -70,7 +83,7 @@ def restore_train_state(directory: str, like):
             item=jax.tree.map(np.asarray, like),
         )
     return jax.tree_util.tree_unflatten(
-        jax.tree_util.tree_structure(like), jax.tree.leaves(restored)
+        structure, jax.tree.leaves(restored)
     )
 
 

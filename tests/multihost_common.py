@@ -1,0 +1,87 @@
+"""Shared construction for the 2-process full-train-flow test: the worker
+processes and the single-process baseline must build byte-identical
+datasets/loaders/configs so their loss sequences are comparable.
+
+The dataset has exactly ``global_batch`` images, so each epoch is one global
+step and the concatenation of the per-host contiguous shards equals the full
+epoch permutation — the 2-process run then consumes the very same global
+batches as the single-process run.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mask_rcnn_tpu.data import MaskRCNNTransform, TrainLoader
+from mask_rcnn_tpu.models import MaskRCNNConfig, ProposalConfig
+
+
+GLOBAL_BATCH = 4
+
+
+def flow_cfg() -> MaskRCNNConfig:
+    return MaskRCNNConfig(
+        n_fg_class=1,
+        min_size=64,
+        max_size=64,
+        anchor_scales=(1.0, 2.0),
+        proposal=ProposalConfig(
+            n_train_pre_nms=64, n_train_post_nms=16,
+            n_test_pre_nms=64, n_test_post_nms=16,
+        ),
+        detections_per_im=4,
+    )
+
+
+class PerExampleFlipTransform(MaskRCNNTransform):
+    """Flip decision derived from the example content instead of a
+    sequential RNG — host sharding must not change which images flip."""
+
+    def __call__(self, example):
+        seed = int(np.asarray(example[0], np.int64).sum() % (2**31))
+        self.rng = np.random.RandomState(seed)
+        return super().__call__(example)
+
+
+def make_flow_loader(process_index: int, process_count: int) -> TrainLoader:
+    from tests.test_engine import make_dataset
+
+    cfg = flow_cfg()
+    ds = make_dataset(n=GLOBAL_BATCH)
+    return TrainLoader(
+        ds,
+        PerExampleFlipTransform(64, 64, cfg.mean, train=True),
+        batch_size=GLOBAL_BATCH // process_count,
+        max_boxes=2,
+        min_size=64,
+        max_size=64,
+        process_index=process_index,
+        process_count=process_count,
+    )
+
+
+def run_train_flow(out_dir: str) -> dict:
+    """The full train() + evaluator + checkpoint flow, parameterized only by
+    the ambient jax process layout."""
+    import jax
+
+    from tests.test_engine import make_dataset
+    from mask_rcnn_tpu.engine.evaluator import InstanceSegmentationEvaluator
+    from mask_rcnn_tpu.engine.loop import train
+
+    cfg = flow_cfg()
+    loader = make_flow_loader(jax.process_index(), jax.process_count())
+    ds = make_dataset(n=GLOBAL_BATCH)
+    evaluator = InstanceSegmentationEvaluator(
+        ds, ds.class_names, kind="voc", batch_size=2
+    )
+    return train(
+        cfg,
+        loader,
+        out_dir,
+        max_epoch=2.0,
+        batch_size_per_device=1,
+        evaluator=evaluator,
+        log_interval=1,
+        checkpoint_interval_steps=2,
+    )

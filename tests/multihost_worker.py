@@ -7,7 +7,14 @@ reference's mpirun multi-node flow (examples/train_common.py:96-104) on the
 jax.distributed stack.
 
 Usage: python multihost_worker.py <process_id> <coordinator> <out_json>
+       python multihost_worker.py <process_id> <coordinator> <out_dir> flow
 Env: set by the parent test (XLA_FLAGS device count 4, JAX_PLATFORMS=cpu).
+
+``flow`` mode runs the FULL engine.loop.train flow — TrainLoader per-host
+shards, the evaluator with collective report aggregation, and process-0
+checkpoint/log gating — under jax.distributed, mirroring the reference's
+whole mpirun path (examples/train_common.py:96-104,200-205,271-283) rather
+than just the raw train step.
 """
 
 import json
@@ -25,10 +32,24 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
+def run_flow_mode(out_dir):
+    """Full train()+evaluator+checkpoint flow (see module docstring)."""
+    import json as json_mod
+
+    from tests.multihost_common import run_train_flow
+
+    report = run_train_flow(out_dir)
+    with open(os.path.join(out_dir, "flow_result.json"), "w") as f:
+        json_mod.dump(
+            {k: float(v) for k, v in report.items()}, f
+        )
+
+
 def main():
     process_id = int(sys.argv[1])
     coordinator = sys.argv[2]
     out_json = sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "step"
 
     jax.distributed.initialize(
         coordinator_address=coordinator,
@@ -40,6 +61,12 @@ def main():
     assert len(jax.local_devices()) == 2
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+
+    if mode == "flow":
+        run_flow_mode(out_json)  # out_json is the per-process out_dir
+        jax.distributed.shutdown()
+        return
+
     import numpy as np
 
     from mask_rcnn_tpu.engine import (

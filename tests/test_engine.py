@@ -136,3 +136,36 @@ def test_log_report_and_params(tmp_path):
     assert loaded["model"] == "resnet50"
     assert "hostname" in loaded
     assert git_hash() is None or len(git_hash()) >= 6
+
+
+def test_train_state_npz_roundtrip(tmp_path):
+    """save_train_state/restore_train_state: collective-free flat-npz codec
+    must restore the full TrainState (params + optimizer trace + step)
+    bit-exactly through an arbitrary optax opt_state tree."""
+    import jax
+
+    from mask_rcnn_tpu.engine import create_train_state, make_optimizer
+    from mask_rcnn_tpu.models import init_params
+    from mask_rcnn_tpu.utils.checkpoint import (
+        restore_train_state,
+        save_train_state,
+    )
+    from tests.test_parallel import tiny_cfg
+
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    optimizer, _ = make_optimizer(params, base_lr=0.01, total_steps=10)
+    state = create_train_state(params, optimizer)
+    state = state._replace(step=state.step + 7)
+
+    d = str(tmp_path / "ck")
+    save_train_state(d, jax.device_get(state))
+    like = create_train_state(params, optimizer)
+    restored = restore_train_state(d, jax.device_get(like))
+
+    assert int(restored.step) == 7
+    got = jax.tree.leaves(restored)
+    want = jax.tree.leaves(jax.device_get(state))
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

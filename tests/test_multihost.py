@@ -103,3 +103,87 @@ def test_two_process_training_matches_single_process(tmp_path):
     with open(out_json) as f:
         got = json.load(f)
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_two_process_full_train_flow(tmp_path):
+    """engine.loop.train end-to-end under 2-process jax.distributed: per-host
+    TrainLoader shards, the multi-host mesh branch (loop.py), collective
+    evaluator aggregation, and process-0-only checkpoint/log gating — the
+    whole reference mpirun flow (examples/train_common.py:96-104,200-205,
+    271-283), not just the raw train step.
+
+    The dataset has exactly global_batch images, so the 2-process run
+    consumes the same global batches as a single-process 4-device run and
+    the process-0 loss log must match it."""
+    from tests.multihost_common import run_train_flow
+
+    # single-process 4-device baseline (this pytest process)
+    base_dir = str(tmp_path / "single")
+    os.makedirs(base_dir)
+    base_report = run_train_flow(base_dir)
+    assert base_report["iterations"] == 2
+    with open(osp.join(base_dir, "log")) as f:
+        base_log = json.load(f)
+    base_losses = {
+        e["iteration"]: e["main/loss"] for e in base_log if "main/loss" in e
+    }
+    assert sorted(base_losses) == [1, 2]
+
+    # two distributed workers running the identical flow
+    coordinator = f"127.0.0.1:{_free_port()}"
+    worker = osp.join(osp.dirname(__file__), "multihost_worker.py")
+    out_dirs = [str(tmp_path / f"proc{pid}") for pid in (0, 1)]
+    for d in out_dirs:
+        os.makedirs(d)
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), coordinator, out_dirs[pid],
+             "flow"],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            cwd=osp.dirname(osp.dirname(osp.abspath(__file__))),
+        )
+        for pid in (0, 1)
+    ]
+    outputs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=3000)
+            outputs.append(out.decode(errors="replace"))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, f"flow worker failed:\n{out[-4000:]}"
+
+    # process-0 log must equal the single-process run
+    with open(osp.join(out_dirs[0], "log")) as f:
+        p0_log = json.load(f)
+    p0_losses = {
+        e["iteration"]: e["main/loss"] for e in p0_log if "main/loss" in e
+    }
+    assert sorted(p0_losses) == [1, 2]
+    for it in (1, 2):
+        np.testing.assert_allclose(p0_losses[it], base_losses[it], rtol=1e-5)
+
+    # the evaluator ran and aggregated collectively (deadlock would have
+    # timed out; presence of the averaged key proves process_allgather ran)
+    eval_entries = [e for e in p0_log if "validation/main/map" in e]
+    assert eval_entries, "evaluator never reported under 2 processes"
+    assert all(np.isfinite(e["validation/main/map"]) for e in eval_entries)
+
+    # process-0-only side effects: checkpoint + params.yaml + snapshot on
+    # rank 0, nothing on rank 1
+    assert osp.exists(osp.join(out_dirs[0], "params.yaml"))
+    assert osp.exists(osp.join(out_dirs[0], "train_state"))
+    assert osp.exists(osp.join(out_dirs[0], "snapshot_model.npz"))
+    assert not osp.exists(osp.join(out_dirs[1], "params.yaml"))
+    assert not osp.exists(osp.join(out_dirs[1], "log"))
+    assert not osp.exists(osp.join(out_dirs[1], "train_state"))
