@@ -35,7 +35,14 @@ class InstanceSegmentationEvaluator:
         batch_size: int = 2,
         use_07_metric: bool = False,
         max_examples: Optional[int] = None,
+        pool_detections: bool = False,
     ):
+        """``pool_detections``: with multiple processes, gather the compact
+        per-image match records from every shard and score them globally —
+        exact global mAP, identical on every rank. Off by default for
+        reference parity (chainermn's evaluator averages per-rank metric
+        reports instead, which differs slightly for non-divisible shards;
+        docs/parity.md)."""
         assert kind in ("coco", "voc")
         self.dataset = dataset
         self.class_names = list(class_names)
@@ -43,6 +50,7 @@ class InstanceSegmentationEvaluator:
         self.batch_size = batch_size
         self.use_07_metric = use_07_metric
         self.max_examples = max_examples
+        self.pool_detections = pool_detections
 
     def __call__(self, model) -> Dict[str, float]:
         import jax
@@ -71,31 +79,73 @@ class InstanceSegmentationEvaluator:
         # stays at a bounded RSS. Reference analog: streaming
         # apply_to_iterator -> eval_instseg_coco
         # (extensions/instance_segmentation_coco_evaluator.py:36-52).
+        # Scoring runs on a worker thread (bounded queue) so the IoU
+        # matching of batch i overlaps the device predict of batch i+1 —
+        # numpy/cv2 release the GIL, so the sweep is pipelined, not serial.
+        import queue as queue_mod
+        import threading
+
         ev = (
             COCOEvaluation("segm")
             if self.kind == "coco"
             else VOCEvaluation(use_07_metric=self.use_07_metric)
         )
         n_added = 0
-        for start in range(0, len(indices), batch_size):
-            examples = [
-                self.dataset[i]
-                for i in indices[start:start + batch_size]
-            ]
-            imgs = [e[0].transpose(2, 0, 1).astype(np.float32)
-                    for e in examples]
-            bboxes, masks, labels, scores = model.predict(imgs)
-            for e, mk, lb, sc in zip(examples, masks, labels, scores):
-                gt_mask = np.asarray(e[3], bool)
-                if self.kind == "coco":
-                    ev.add(
-                        mk, lb, sc, gt_mask, e[2],
-                        e[4] if len(e) > 4 else None,
-                        e[5] if len(e) > 5 else None,
-                    )
-                else:
-                    ev.add(mk, lb, sc, gt_mask, e[2])
-                n_added += 1
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=2)
+        failure = []
+
+        def scorer():
+            failed = False
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if failed:
+                    continue  # keep draining so the producer never blocks
+                try:
+                    for args in item:
+                        ev.add(*args)
+                except BaseException as e:  # surfaced after join
+                    failure.append(e)
+                    failed = True
+
+        t = threading.Thread(target=scorer, daemon=True)
+        t.start()
+        try:
+            for start in range(0, len(indices), batch_size):
+                examples = [
+                    self.dataset[i]
+                    for i in indices[start:start + batch_size]
+                ]
+                imgs = [e[0].transpose(2, 0, 1).astype(np.float32)
+                        for e in examples]
+                bboxes, masks, labels, scores = model.predict(imgs)
+                work = []
+                for e, mk, lb, sc in zip(examples, masks, labels, scores):
+                    gt_mask = np.asarray(e[3], bool)
+                    if self.kind == "coco":
+                        work.append((
+                            mk, lb, sc, gt_mask, e[2],
+                            e[4] if len(e) > 4 else None,
+                            e[5] if len(e) > 5 else None,
+                        ))
+                    else:
+                        work.append((mk, lb, sc, gt_mask, e[2]))
+                    n_added += 1
+                q.put(work)
+                if failure:
+                    break
+        finally:
+            q.put(None)
+            t.join()
+        if failure:
+            raise RuntimeError("evaluation scoring failed") from failure[0]
+
+        if pc > 1 and self.pool_detections:
+            # Exact global metric: gather every shard's compact records
+            # (collective, all ranks participate) and score the union
+            # locally — every rank then computes the identical global mAP.
+            n_added = self._pool_states(ev, n_added)
 
         # An empty shard (more processes than examples) reports no keys —
         # it must still reach the collective aggregation below, where its
@@ -126,9 +176,42 @@ class InstanceSegmentationEvaluator:
                     report[
                         f"validation/main/ap/{self.class_names[cid]}"
                     ] = float(ap)
-        if pc > 1:
+        if pc > 1 and not self.pool_detections:
             report = self._aggregate_reports(report)
         return report
+
+    @staticmethod
+    def _pool_states(ev, n_added: int) -> int:
+        """Allgather every process's compact accumulator state and merge the
+        other shards into ``ev``. Returns the global example count. Ragged
+        pickle payloads ride two fixed-shape collectives (max-length, then
+        padded bytes)."""
+        import pickle
+
+        from jax.experimental import multihost_utils
+
+        payload = np.frombuffer(
+            pickle.dumps((n_added, ev.get_state())), np.uint8
+        )
+        lengths = np.asarray(
+            multihost_utils.process_allgather(
+                np.asarray([len(payload)], np.int64)
+            )
+        ).reshape(-1)
+        padded = np.zeros(int(lengths.max()), np.uint8)
+        padded[: len(payload)] = payload
+        gathered = np.asarray(
+            multihost_utils.process_allgather(padded)
+        )  # (pc, max_len)
+        import jax
+
+        total = 0
+        for rank, (row, ln) in enumerate(zip(gathered, lengths)):
+            count, state = pickle.loads(bytes(row[: int(ln)]))
+            total += count
+            if rank != jax.process_index():
+                ev.merge_state(state)
+        return total
 
     # -- multi-host report averaging --------------------------------------
     _SCALAR_KEYS = (

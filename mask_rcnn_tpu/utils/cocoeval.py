@@ -230,6 +230,19 @@ class COCOEvaluation:
             }
         self._per_image.append(record)
 
+    # -- distributed pooling ------------------------------------------------
+    def get_state(self):
+        """Compact picklable state (per-image match records) for pooling
+        across evaluation shards."""
+        return {"class_ids": self._class_ids, "per_image": self._per_image}
+
+    def merge_state(self, state) -> None:
+        """Merge another shard's ``get_state()`` — exact: per-image records
+        are independent, so pooling then scoring equals scoring the union
+        of images in one process."""
+        self._class_ids |= set(state["class_ids"])
+        self._per_image.extend(state["per_image"])
+
     def _evaluate_all(self):
         """-> eval structures: per (cat, area, maxDet) concatenated scores,
         tp/fp flags; then precision/recall tables."""

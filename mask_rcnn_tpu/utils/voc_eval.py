@@ -107,6 +107,25 @@ class VOCEvaluation:
                 else:
                     self._match[lbl].append(0)
 
+    def get_state(self):
+        """Compact picklable state (per-class score/match lists) for
+        pooling across evaluation shards."""
+        return {
+            "n_pos": dict(self._n_pos),
+            "score": {k: list(v) for k, v in self._score.items()},
+            "match": {k: list(v) for k, v in self._match.items()},
+        }
+
+    def merge_state(self, state) -> None:
+        """Merge another shard's ``get_state()`` — exact (the metric sorts
+        the pooled score lists globally before the PR curve)."""
+        for k, v in state["n_pos"].items():
+            self._n_pos[k] += v
+        for k, v in state["score"].items():
+            self._score[k].extend(v)
+        for k, v in state["match"].items():
+            self._match[k].extend(v)
+
     def results(self) -> Dict:
         n_fg = max(self._n_pos.keys(), default=-1) + 1
         prec: List = [None] * n_fg

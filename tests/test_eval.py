@@ -212,3 +212,52 @@ def test_coco_evaluation_retains_only_compact_records():
     assert np.isfinite(
         ev.results()["map/iou=0.50:0.95/area=all/maxDets=100"]
     )
+
+
+def _rand_image_preds(seed, h=64, w=64):
+    rng = np.random.RandomState(seed)
+    d, g = rng.randint(1, 6), rng.randint(1, 4)
+    return (
+        rng.rand(d, h, w) > 0.6,
+        rng.randint(0, 3, d),
+        rng.rand(d),
+        rng.rand(g, h, w) > 0.6,
+        rng.randint(0, 3, g),
+    )
+
+
+def test_coco_merge_state_equals_single_accumulator():
+    """Pooled distributed evaluation: scoring the union of two shards'
+    compact states must equal scoring all images in one accumulator."""
+    full = COCOEvaluation("segm")
+    a = COCOEvaluation("segm")
+    b = COCOEvaluation("segm")
+    for i in range(8):
+        args = _rand_image_preds(i)
+        full.add(*args)
+        (a if i % 2 == 0 else b).add(*args)
+    a.merge_state(b.get_state())
+    ra, rf = a.results(), full.results()
+    assert ra["class_ids"] == rf["class_ids"]
+    for k in ("map/iou=0.50:0.95/area=all/maxDets=100",
+              "map/iou=0.50/area=all/maxDets=100",
+              "mar/iou=0.50:0.95/area=all/maxDets=100"):
+        np.testing.assert_allclose(ra[k], rf[k], rtol=1e-12)
+
+
+def test_voc_merge_state_equals_single_accumulator():
+    from mask_rcnn_tpu.utils.voc_eval import VOCEvaluation
+
+    full = VOCEvaluation()
+    a = VOCEvaluation()
+    b = VOCEvaluation()
+    for i in range(8):
+        pm, pl, ps, gm, gl = _rand_image_preds(100 + i)
+        full.add(pm, pl, ps, gm, gl)
+        (a if i % 3 == 0 else b).add(pm, pl, ps, gm, gl)
+    a.merge_state(b.get_state())
+    ra, rf = a.results(), full.results()
+    np.testing.assert_allclose(ra["map"], rf["map"], rtol=1e-12)
+    np.testing.assert_allclose(
+        np.nan_to_num(ra["ap"]), np.nan_to_num(rf["ap"]), rtol=1e-12
+    )

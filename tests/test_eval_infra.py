@@ -213,6 +213,44 @@ def test_streaming_evaluator_matches_list_based(kind):
     assert report["validation/main/ap/cls0"] >= 0.0
 
 
+def test_evaluator_scoring_failure_propagates():
+    """An error in the scoring worker thread must fail the evaluation
+    loudly (and must not deadlock the bounded predict->score queue)."""
+    from mask_rcnn_tpu.engine.evaluator import InstanceSegmentationEvaluator
+
+    class BadGtDataset(_FakeEvalDataset):
+        def __getitem__(self, i):
+            out = list(super().__getitem__(i))
+            if i == 2:
+                out[2] = None  # malformed gt labels -> ev.add raises
+            return tuple(out)
+
+    ev = InstanceSegmentationEvaluator(
+        BadGtDataset(n=6), ["cls0", "cls1"], kind="coco", batch_size=2
+    )
+    with pytest.raises(RuntimeError, match="scoring failed"):
+        ev(_FakePredictModel())
+
+
+def test_pool_states_single_process_roundtrip():
+    """_pool_states' gather+merge machinery (pickled ragged payloads over
+    fixed-shape collectives) must be a no-op merge at process_count=1 and
+    return the global count."""
+    from mask_rcnn_tpu.engine.evaluator import InstanceSegmentationEvaluator
+    from mask_rcnn_tpu.utils.cocoeval import COCOEvaluation
+
+    ev = COCOEvaluation("segm")
+    rng = np.random.RandomState(0)
+    ev.add(rng.rand(3, 32, 32) > 0.5, np.array([0, 1, 0]),
+           np.array([0.9, 0.8, 0.7]), rng.rand(2, 32, 32) > 0.5,
+           np.array([0, 1]))
+    before = ev.results()["map/iou=0.50:0.95/area=all/maxDets=100"]
+    total = InstanceSegmentationEvaluator._pool_states(ev, 1)
+    assert total == 1
+    after = ev.results()["map/iou=0.50:0.95/area=all/maxDets=100"]
+    np.testing.assert_allclose(after, before, rtol=1e-12)
+
+
 def test_evaluator_empty_shard_reports_no_keys():
     """A process with zero examples must produce an empty report (all-NaN
     aggregation vector) instead of dying before the collective."""
