@@ -31,6 +31,11 @@ def main():
         "--uint8", action="store_true",
         help="ship uint8 pixels and normalize on device (4x less H2D)",
     )
+    parser.add_argument(
+        "--pipeline", action="store_true",
+        help="double-buffered predict_stream: overlap host prepare/paste "
+        "and transfers with device compute of the next image",
+    )
     args = parser.parse_args()
 
     from mask_rcnn_tpu.models.api import MaskRCNNResNet
@@ -63,11 +68,22 @@ def main():
 
     for _ in range(5):
         model.predict([img])
-    t0 = time.perf_counter()
-    for _ in range(args.n_times):
-        model.predict([img])
-    dt = (time.perf_counter() - t0) / args.n_times
-    print(f"Average inference time: {dt * 1000:.1f} ms ({1 / dt:.2f} Hz)")
+    if args.pipeline:
+        # throughput of the double-buffered serving loop (results for image
+        # i are pasted/downloaded while image i+1 runs on the device)
+        t0 = time.perf_counter()
+        for _ in model.predict_stream([img] for _ in range(args.n_times)):
+            pass
+        dt = (time.perf_counter() - t0) / args.n_times
+        print(
+            f"Average pipelined time: {dt * 1000:.1f} ms ({1 / dt:.2f} Hz)"
+        )
+    else:
+        t0 = time.perf_counter()
+        for _ in range(args.n_times):
+            model.predict([img])
+        dt = (time.perf_counter() - t0) / args.n_times
+        print(f"Average inference time: {dt * 1000:.1f} ms ({1 / dt:.2f} Hz)")
 
 
 if __name__ == "__main__":

@@ -247,10 +247,14 @@ class MaskRCNNResNet:
         return _compiled_predict(self.config, self.mesh)
 
     # -- inference -------------------------------------------------------
-    def predict(
-        self, imgs: Sequence[np.ndarray]
-    ) -> Tuple[List[np.ndarray], List[np.ndarray], List[np.ndarray],
-               List[np.ndarray]]:
+    def predict_submit(self, imgs: Sequence[np.ndarray]):
+        """Prepare + pad + dispatch the compiled graph WITHOUT waiting.
+
+        Returns an opaque handle for :meth:`predict_collect`. JAX dispatch
+        is asynchronous, so the device (and, in a tunneled setup, the
+        upload) runs while the host goes on to prepare the next batch —
+        the building block of :meth:`predict_stream`'s double buffering.
+        """
         prepared, sizes, scales = self.prepare(imgs)
         n = len(prepared)
         # With a mesh, pad the batch to a multiple of the device count so
@@ -296,6 +300,15 @@ class MaskRCNNResNet:
             jnp.asarray(sizes_a),
             jnp.asarray(scales_a),
         )
+        return out, sizes, n
+
+    def predict_collect(
+        self, handle
+    ) -> Tuple[List[np.ndarray], List[np.ndarray], List[np.ndarray],
+               List[np.ndarray]]:
+        """Block on a :meth:`predict_submit` handle and run the host-side
+        postprocessing (score threshold + full-resolution mask paste)."""
+        out, sizes, n = handle
         out = jax.device_get(out)
 
         bboxes, masks, labels, scores = [], [], [], []
@@ -312,3 +325,34 @@ class MaskRCNNResNet:
             labels.append(label)
             scores.append(score)
         return bboxes, masks, labels, scores
+
+    def predict(
+        self, imgs: Sequence[np.ndarray]
+    ) -> Tuple[List[np.ndarray], List[np.ndarray], List[np.ndarray],
+               List[np.ndarray]]:
+        return self.predict_collect(self.predict_submit(imgs))
+
+    def predict_stream(self, batches):
+        """Double-buffered inference over an iterable of image batches.
+
+        Yields one ``predict`` result tuple per input batch, in order,
+        keeping one batch in flight: batch ``i+1`` is prepared on the host
+        and dispatched to the device before batch ``i``'s results are
+        fetched, so host preprocessing, the device->host transfer, and the
+        full-resolution mask paste all overlap the device compute of the
+        next batch. Per-batch results are identical to :meth:`predict`
+        (same compiled graph, same postprocessing) — this reorders only
+        the host<->device synchronization.
+
+        The reference's serving loop is strictly sequential per call
+        (reference examples/coco/speedtest.py:29-34); this is the
+        TPU-native replacement for real serving/evaluation sweeps.
+        """
+        pending = None
+        for imgs in batches:
+            handle = self.predict_submit(imgs)
+            if pending is not None:
+                yield self.predict_collect(pending)
+            pending = handle
+        if pending is not None:
+            yield self.predict_collect(pending)
