@@ -111,6 +111,34 @@ class InstanceSegmentationEvaluator:
 
         t = threading.Thread(target=scorer, daemon=True)
         t.start()
+
+        def enqueue(examples, results):
+            nonlocal n_added
+            bboxes, masks, labels, scores = results
+            work = []
+            for e, mk, lb, sc in zip(examples, masks, labels, scores):
+                gt_mask = np.asarray(e[3], bool)
+                if self.kind == "coco":
+                    work.append((
+                        mk, lb, sc, gt_mask, e[2],
+                        e[4] if len(e) > 4 else None,
+                        e[5] if len(e) > 5 else None,
+                    ))
+                else:
+                    work.append((mk, lb, sc, gt_mask, e[2]))
+                n_added += 1
+            q.put(work)
+
+        # Double-buffered sweep: batch i+1 is decoded and dispatched to the
+        # device before batch i's detections are fetched and pasted, so host
+        # decode + paste + transfers overlap device compute (the api layer's
+        # predict_submit/predict_collect split; results are bitwise identical
+        # to sequential predict — tests/test_api_stream.py). Models without
+        # the split (bare test stubs) fall back to blocking predict.
+        submit = getattr(model, "predict_submit", None)
+        collect = getattr(model, "predict_collect", None)
+        pipelined = submit is not None and collect is not None
+        pending = None  # (handle, examples) with one device batch in flight
         try:
             for start in range(0, len(indices), batch_size):
                 examples = [
@@ -119,22 +147,18 @@ class InstanceSegmentationEvaluator:
                 ]
                 imgs = [e[0].transpose(2, 0, 1).astype(np.float32)
                         for e in examples]
-                bboxes, masks, labels, scores = model.predict(imgs)
-                work = []
-                for e, mk, lb, sc in zip(examples, masks, labels, scores):
-                    gt_mask = np.asarray(e[3], bool)
-                    if self.kind == "coco":
-                        work.append((
-                            mk, lb, sc, gt_mask, e[2],
-                            e[4] if len(e) > 4 else None,
-                            e[5] if len(e) > 5 else None,
-                        ))
-                    else:
-                        work.append((mk, lb, sc, gt_mask, e[2]))
-                    n_added += 1
-                q.put(work)
+                if pipelined:
+                    handle = submit(imgs)
+                    if pending is not None:
+                        enqueue(pending[1], collect(pending[0]))
+                    pending = (handle, examples)
+                else:
+                    enqueue(examples, model.predict(imgs))
                 if failure:
+                    pending = None
                     break
+            if pending is not None:
+                enqueue(pending[1], collect(pending[0]))
         finally:
             q.put(None)
             t.join()

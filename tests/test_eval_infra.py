@@ -213,6 +213,36 @@ def test_streaming_evaluator_matches_list_based(kind):
     assert report["validation/main/ap/cls0"] >= 0.0
 
 
+class _FakeStreamModel(_FakePredictModel):
+    """Exposes the predict_submit/predict_collect split so the evaluator's
+    double-buffered sweep (one handle in flight) runs, with results that are
+    by construction identical to the blocking predict path."""
+
+    def predict_submit(self, imgs):
+        return self.predict(imgs)
+
+    def predict_collect(self, handle):
+        return handle
+
+
+@pytest.mark.parametrize("kind", ["coco", "voc"])
+def test_evaluator_pipelined_matches_blocking(kind):
+    """The submit/collect pipelined sweep must reorder only synchronization:
+    the report must equal the blocking-predict fallback exactly (including
+    the trailing in-flight batch and odd final-batch sizes)."""
+    from mask_rcnn_tpu.engine.evaluator import InstanceSegmentationEvaluator
+
+    ds = _FakeEvalDataset(n=5, with_extras=(kind == "coco"))
+    ev = InstanceSegmentationEvaluator(
+        ds, ["cls0", "cls1"], kind=kind, batch_size=2
+    )
+    blocking = ev(_FakePredictModel())
+    pipelined = ev(_FakeStreamModel())
+    assert blocking.keys() == pipelined.keys()
+    for k in blocking:
+        np.testing.assert_allclose(pipelined[k], blocking[k], rtol=0)
+
+
 def test_evaluator_scoring_failure_propagates():
     """An error in the scoring worker thread must fail the evaluation
     loudly (and must not deadlock the bounded predict->score queue)."""
