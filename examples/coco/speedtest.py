@@ -36,6 +36,11 @@ def main():
         help="double-buffered predict_stream: overlap host prepare/paste "
         "and transfers with device compute of the next image",
     )
+    parser.add_argument(
+        "--depth", type=int, default=2,
+        help="predict_stream in-flight depth (>2 also overlaps uploads "
+        "with downloads on a high-latency link)",
+    )
     args = parser.parse_args()
 
     from mask_rcnn_tpu.models.api import MaskRCNNResNet
@@ -72,7 +77,9 @@ def main():
         # throughput of the double-buffered serving loop (results for image
         # i are pasted/downloaded while image i+1 runs on the device)
         t0 = time.perf_counter()
-        for _ in model.predict_stream([img] for _ in range(args.n_times)):
+        for _ in model.predict_stream(
+            ([img] for _ in range(args.n_times)), depth=args.depth
+        ):
             pass
         dt = (time.perf_counter() - t0) / args.n_times
         print(

@@ -36,12 +36,13 @@ def _rand_batches(seed, n_batches, batch_size):
     ]
 
 
-def test_predict_stream_matches_predict(tiny_api_model):
+@pytest.mark.parametrize("depth", [1, 2, 3, 8])
+def test_predict_stream_matches_predict(tiny_api_model, depth):
     model = tiny_api_model
     batches = _rand_batches(0, n_batches=4, batch_size=2)
 
     sequential = [model.predict(imgs) for imgs in batches]
-    streamed = list(model.predict_stream(iter(batches)))
+    streamed = list(model.predict_stream(iter(batches), depth=depth))
 
     assert len(streamed) == len(sequential)
     for seq, st in zip(sequential, streamed):
@@ -49,6 +50,11 @@ def test_predict_stream_matches_predict(tiny_api_model):
             assert len(a_list) == len(b_list)
             for a, b in zip(a_list, b_list):
                 np.testing.assert_array_equal(a, b)
+
+
+def test_predict_stream_rejects_bad_depth(tiny_api_model):
+    with pytest.raises(ValueError):
+        list(tiny_api_model.predict_stream(iter([]), depth=0))
 
 
 def test_predict_stream_empty(tiny_api_model):
