@@ -104,3 +104,17 @@ def visualize_instance_segmentation(
         scores=pred_scores,
     )
     return get_tile_image([viz_gt, viz_pred], (1, 2))
+
+
+def draw_instance_boxes(img, boxes, instance_classes, n_class, masks=None,
+                        captions=None):
+    """Deprecated alias kept for reference-API compatibility
+    (reference utils/visualizations.py:12-21)."""
+    import warnings
+
+    warnings.warn(
+        "draw_instance_boxes is deprecated, please use draw_instance_bboxes"
+    )
+    return draw_instance_bboxes(
+        img, boxes, instance_classes, n_class, masks=masks, captions=captions
+    )
