@@ -58,14 +58,29 @@ def main():
     from mask_rcnn_tpu.utils.visualizations import draw_instance_bboxes
     from mask_rcnn_tpu.utils import _itertools
 
+    def load_image(path):
+        # URL support for parity with the reference demo (its skimage.io
+        # imread accepts URLs — reference examples/demo.py usage in
+        # README.md:37-52); plain paths go through cv2.
+        if path.startswith(("http://", "https://")):
+            import urllib.request
+
+            data = urllib.request.urlopen(path).read()
+            bgr = cv2.imdecode(
+                np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR
+            )
+        else:
+            bgr = cv2.imread(path, cv2.IMREAD_COLOR)
+        if bgr is None:
+            raise FileNotFoundError(f"could not read image: {path}")
+        return bgr[:, :, ::-1].copy()
+
+    # load (and fail on bad paths) before the expensive model build
+    imgs = [(path, load_image(path)) for path in args.images]
+
     model, params_yaml = build_model_from_log_dir(args.log_dir)
     out_dir = args.out or tempfile.mkdtemp(prefix="mask_rcnn_tpu_demo_")
     os.makedirs(out_dir, exist_ok=True)
-
-    imgs = []
-    for path in args.images:
-        bgr = cv2.imread(path, cv2.IMREAD_COLOR)
-        imgs.append((path, bgr[:, :, ::-1].copy()))
 
     for chunk in _itertools.batch(imgs, n=2):
         chw = [im.transpose(2, 0, 1).astype(np.float32) for _, im in chunk]
