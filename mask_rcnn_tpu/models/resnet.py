@@ -70,6 +70,86 @@ def max_pool_3x3_s2_p1(x):
     )
 
 
+def _stem_s2d_weight(w7):
+    """Rewrite conv1's (7, 7, 3, 64) kernel for the space-to-depth-4 stem.
+
+    The blocked conv computes, for block conv offset ``b - 1`` and output
+    parity ``p``, the original tap ``d = 4(b-1) + q + 3 - 2p`` (``q`` =
+    within-block position), zero where ``d`` falls outside [0, 7). Built with
+    gathers so it stays differentiable in ``w7``.
+
+    Returns a (3, 3, 48, 256) HWIO kernel; input channels ordered
+    ``(qy, qx, c)``, output channels ``(py, px, o)``.
+    """
+    b = np.arange(3) - 1
+    q = np.arange(4)
+    p = np.arange(2)
+    d = 4 * b[:, None, None] + q[None, :, None] + 3 - 2 * p[None, None, :]
+    valid = (d >= 0) & (d < 7)  # (3, 4, 2)
+    dc = jnp.asarray(np.clip(d, 0, 6).reshape(-1))
+
+    wy = jnp.take(w7, dc, axis=0).reshape((3, 4, 2) + w7.shape[1:])
+    wy = wy * jnp.asarray(valid, w7.dtype)[..., None, None, None]
+    wxy = jnp.take(wy, dc, axis=3).reshape(
+        (3, 4, 2, 3, 4, 2) + w7.shape[2:]
+    )  # (by, qy, py, bx, qx, px, c, o)
+    wxy = wxy * jnp.asarray(valid, w7.dtype)[
+        None, None, None, :, :, :, None, None
+    ]
+    w = wxy.transpose(0, 3, 1, 4, 6, 2, 5, 7)  # (by, bx, qy, qx, c, py, px, o)
+    return w.reshape(3, 3, 16 * w7.shape[2], 4 * w7.shape[3])
+
+
+def stem_forward(params, x):
+    """conv1 7x7/2 pad3 -> affine -> relu -> maxpool 3x3/2 pad1.
+
+    When H and W divide by 4 (always true for the 64-aligned size buckets)
+    the stem runs as a space-to-depth-4 block conv: XLA's direct conv on a
+    3-channel input is far off its roofline (the C_in=3 shallow-conv path),
+    while the equivalent 3x3 stride-1 conv on the (H/4, W/4, 48) block grid
+    is a perfectly MXU-shaped op, and the 3x3/2 maxpool collapses to shifted
+    elementwise maxes on block channels (its stride-4 output grid coincides
+    with the block grid). Same terms summed per output -> equal to the
+    direct path up to f32 accumulation order (~1e-7 relative).
+    """
+    n, h, w, c = x.shape
+    if h % 4 or w % 4:
+        hh = conv2d(x, params["conv1"]["W"], stride=2,
+                    padding=[(3, 3), (3, 3)])
+        hh = jax.nn.relu(affine(hh, params["bn1"]))
+        return max_pool_3x3_s2_p1(hh)
+
+    xb = x.reshape(n, h // 4, 4, w // 4, 4, c).transpose(
+        0, 1, 3, 2, 4, 5
+    ).reshape(n, h // 4, w // 4, 16 * c)
+    wp = _stem_s2d_weight(params["conv1"]["W"]).astype(x.dtype)
+    o1 = jax.lax.conv_general_dilated(
+        xb, wp, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    scale = jnp.tile(params["bn1"]["scale"], 4)
+    bias = jnp.tile(params["bn1"]["bias"], 4)
+    a = jax.nn.relu(o1 * scale + bias)  # channels (py, px, o)
+    co = o1.shape[-1] // 4
+    p00, p01 = a[..., 0:co], a[..., co:2 * co]
+    p10, p11 = a[..., 2 * co:3 * co], a[..., 3 * co:]
+
+    def shift_y(t):
+        return jnp.concatenate(
+            [jnp.full_like(t[:, :1], -jnp.inf), t[:, :-1]], axis=1
+        )
+
+    def shift_x(t):
+        return jnp.concatenate(
+            [jnp.full_like(t[:, :, :1], -jnp.inf), t[:, :, :-1]], axis=2
+        )
+
+    # maxpool rows {2u-1, 2u, 2u+1} = parities (1 of block u-1, 0, 1 of u)
+    q0 = jnp.maximum(jnp.maximum(shift_y(p10), p00), p10)
+    q1 = jnp.maximum(jnp.maximum(shift_y(p11), p01), p11)
+    return jnp.maximum(jnp.maximum(shift_x(q1), q0), q1)
+
+
 def bottleneck(params, x, stride=1, projection=False):
     h = conv2d(x, params["conv1"]["W"], stride=stride, padding="VALID")
     h = jax.nn.relu(affine(h, params["bn1"]))
@@ -103,9 +183,7 @@ def extractor_forward(params, x, n_layers=50, freeze_at="res2",
     for HBM — enables larger per-chip batches.
     """
     blocks = RESNET_N_BLOCKS[n_layers]
-    h = conv2d(x, params["conv1"]["W"], stride=2, padding=[(3, 3), (3, 3)])
-    h = jax.nn.relu(affine(h, params["bn1"]))
-    h = max_pool_3x3_s2_p1(h)
+    h = stem_forward(params, x)
     for i, stage in enumerate(["res2", "res3", "res4"]):
         fn = functools.partial(
             building_block, n_blocks=blocks[i],
