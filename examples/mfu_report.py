@@ -26,15 +26,32 @@ sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
 PEAK_FLOPS = 197e12
 
 
-def timed(fn, sync, iters=10, warmup=3):
-    for _ in range(warmup):
-        out = fn()
-    sync(out)
+def timed_scan_steps(step, state, batch, key, reps=12, iters=3):
+    """Steady-state seconds per train step: ``reps`` real consecutive steps
+    (state carried, key folded) inside one jit — dispatch-free, like
+    utils.profiling.time_fn_chained for stateless graphs."""
+    import jax
+
+    @jax.jit
+    def run(state, key):
+        def body(carry, _):
+            s, k = carry
+            k = jax.random.fold_in(k, 1)
+            s, metrics = step(s, batch, k)
+            return (s, k), metrics["loss"]
+
+        (_, _), losses = jax.lax.scan(
+            body, (state, key), None, length=reps
+        )
+        return losses[-1]
+
+    out = run(state, key)
+    float(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn()
-    sync(out)
-    return (time.perf_counter() - t0) / iters
+        out = run(state, key)
+    float(out)
+    return (time.perf_counter() - t0) / iters / reps
 
 
 def graph_flops(lowered_compiled):
@@ -124,38 +141,36 @@ def main():
         optimizer, _ = make_optimizer(params, 0.02, 1000)
         state = jax.device_put(create_train_state(params, optimizer))
 
-        # inference
+        from mask_rcnn_tpu.utils.profiling import time_fn_chained
+
+        # inference (chained in-graph: dispatch-free device time)
         infer = jax.jit(lambda p, i, s, sc: predict_step(p, cfg, i, s, sc))
         lowered = infer.lower(params, images1, sizes1, scales1).compile()
-        t = timed(
-            lambda: infer(params, images1, sizes1, scales1),
-            lambda o: np.asarray(o["scores"][0, 0]),
-            iters=args.iters,
-        )
+        t = time_fn_chained(
+            lambda i: predict_step(params, cfg, i, sizes1, scales1),
+            images1, reps=20, iters=args.iters,
+        ) / 1e3
         fl = graph_flops(lowered)
         emit(f"infer b1 {dtype}", t, fl, 1 / t)
 
-        # forward loss only
+        # forward loss only (chained on the image tensor)
         fwd = jax.jit(lambda p, b, k: train_loss(p, cfg, b, k)[0])
         lowered = fwd.lower(params, batch, key).compile()
-        t = timed(
-            lambda: fwd(params, batch, key),
-            lambda o: float(o),
-            iters=args.iters,
-        )
+        t = time_fn_chained(
+            lambda img: train_loss(
+                params, cfg, {**batch, "image": img}, key
+            )[0],
+            batch["image"], reps=20, iters=args.iters,
+        ) / 1e3
         fl = graph_flops(lowered)
         emit(f"train fwd-loss b{n} {dtype}", t, fl, n / t)
 
-        # full train step
+        # full train step (scan of real consecutive steps)
         step = jax.jit(make_train_step(cfg, optimizer))
         lowered = step.lower(state, batch, key).compile()
-
-        def run_step():
-            new_state, metrics = step(state, batch, key)
-            return metrics
-
-        t = timed(
-            run_step, lambda m: float(m["loss"]), iters=args.iters
+        t = timed_scan_steps(
+            make_train_step(cfg, optimizer), state, batch, key,
+            iters=args.iters,
         )
         fl = graph_flops(lowered)
         emit(f"train step b{n} {dtype}", t, fl, n / t)

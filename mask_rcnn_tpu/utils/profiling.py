@@ -47,6 +47,44 @@ def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 2) -> float:
     return (time.perf_counter() - t0) / iters * 1000.0
 
 
+def time_fn_chained(build: Callable, feed, reps: int = 50,
+                    iters: int = 4) -> float:
+    """Device milliseconds/op: chain ``reps`` data-dependent calls in one jit.
+
+    Isolated per-call timing through the dev tunnel carries a ~1 ms host
+    dispatch floor plus a multi-ms D2H fetch at the final sync, which
+    misattributes time to whatever small op is being measured (e.g. a
+    65520-element ``lax.top_k`` measures 2.8 ms isolated but 0.11 ms
+    in-graph). Folding a zero-scaled scalar from each call's output back
+    into the (array) ``feed`` forces ``reps`` sequential executions on
+    device, amortizing dispatch and fetch to noise.
+
+    ``build`` maps the feed array to any output pytree; values are
+    unchanged between reps (the fold-in multiplies by 0.0), so the timing
+    reflects steady-state execution of the same computation.
+    """
+    import jax.numpy as jnp
+
+    def first_scalar(tree):
+        leaf = jax.tree.leaves(tree)[0]
+        return leaf[tuple(0 for _ in leaf.shape)].astype(jnp.float32)
+
+    @jax.jit
+    def run(x):
+        def body(_, x):
+            return x + (0.0 * first_scalar(build(x))).astype(x.dtype)
+
+        return jax.lax.fori_loop(0, reps, body, x)
+
+    out = run(feed)
+    np.asarray(out[tuple(0 for _ in out.shape)])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run(feed)
+    np.asarray(out[tuple(0 for _ in out.shape)])
+    return (time.perf_counter() - t0) / iters / reps * 1000.0
+
+
 def profile_stages(stages: List[Tuple[str, Callable, tuple]],
                    iters: int = 10) -> Dict[str, float]:
     """Time named (fn, args) stages; returns {name: ms}."""

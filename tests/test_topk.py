@@ -72,3 +72,22 @@ def test_under_vmap():
     got_v, got_i = jax.vmap(lambda s: top_k_select(s, 2500))(scores)
     np.testing.assert_array_equal(np.asarray(ref_v), np.asarray(got_v))
     np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(got_i))
+
+
+def test_pallas_descent_matches_xla():
+    from mask_rcnn_tpu.ops.topk import (
+        _float_to_ordered_uint32,
+        kth_largest_key,
+        kth_largest_key_pallas,
+    )
+
+    rng = np.random.RandomState(7)
+    for score, k in [
+        (rng.randn(65520).astype(np.float32), 6000),
+        (rng.randint(0, 5, 20000).astype(np.float32), 5000),
+        (np.full(4096, -2.5, np.float32), 1024),
+    ]:
+        key = _float_to_ordered_uint32(jnp.asarray(score))
+        ref = kth_largest_key(key, k)
+        got = kth_largest_key_pallas(key, k)
+        assert int(ref) == int(got)
