@@ -156,3 +156,44 @@ def test_lr_schedule_steps():
     np.testing.assert_allclose(float(sched(0)), 0.02, rtol=1e-6)
     np.testing.assert_allclose(float(sched(121)), 0.002, rtol=1e-6)
     np.testing.assert_allclose(float(sched(161)), 0.0002, rtol=1e-6)
+
+
+def test_parallel_predict_matches_single_device():
+    """8-way sharded inference must equal the single-device graph on the
+    same batch (no cross-shard dependence by construction)."""
+    from mask_rcnn_tpu.models import predict_step
+    from mask_rcnn_tpu.parallel import (
+        batch_sharding,
+        make_parallel_predict_step,
+    )
+
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(jax.devices()[:8])
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.RandomState(3)
+    images = rng.randn(8, 64, 64, 3).astype(np.float32) * 10
+    sizes = np.tile(np.asarray([[64.0, 64.0]], np.float32), (8, 1))
+    scales = np.ones((8,), np.float32)
+
+    pred = lambda p, i, s, sc: predict_step(p, cfg, i, s, sc)  # noqa: E731
+
+    ref = jax.jit(pred)(params, images, sizes, scales)
+
+    p_pred = make_parallel_predict_step(pred, mesh)
+    sh = batch_sharding(mesh)
+    rep = replicated(mesh)
+    got = p_pred(
+        jax.device_put(params, rep),
+        jax.device_put(images, sh),
+        jax.device_put(sizes, sh),
+        jax.device_put(scales, sh),
+    )
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(ref[k]), np.asarray(got[k]), rtol=1e-5, atol=1e-5,
+            err_msg=k,
+        )
+    # outputs are batch-sharded across the 8 devices
+    assert len(got["scores"].sharding.device_set) == 8
