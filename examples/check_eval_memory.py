@@ -93,6 +93,46 @@ class FakePredictModel:
         return bboxes, masks, labels, scores
 
 
+class FakeRawPredictModel(FakePredictModel):
+    """Same detections as boxes + (14, 14) roi probabilities — the form the
+    production api layer hands the evaluator (``predict_collect_raw``), so
+    the sweep scores via ``add_boxlocal`` without any full-image paste."""
+
+    score_thresh = 0.0
+
+    def predict_submit(self, imgs):
+        out = []
+        for img in imgs:
+            h, w = img.shape[1:]
+            i = int(img[0, 0, 0])
+            boxes, rng = self.dataset._boxes(i)
+            bb = np.zeros((self.n_dets, 4), np.float32)
+            for k in range(self.n_dets):
+                if k < len(boxes):
+                    y1, x1, y2, x2 = boxes[k]
+                    dy, dx = rng.randint(-6, 7, 2)
+                    bb[k] = (max(y1 + dy, 0), max(x1 + dx, 0),
+                             min(y2 + dy, h), min(x2 + dx, w))
+                else:
+                    y = rng.randint(0, h - 60)
+                    x = rng.randint(0, w - 60)
+                    bb[k] = (y, x, y + 50, x + 50)
+            pr = np.full((self.n_dets, 14, 14), 0.9, np.float32)
+            ls = rng.randint(0, 80, self.n_dets).astype(np.int32)
+            ss = rng.rand(self.n_dets).astype(np.float32)
+            out.append((bb, pr, ls, ss, (h, w)))
+        return out
+
+    def predict_collect_raw(self, handle):
+        return (
+            [x[0] for x in handle],
+            [x[1] for x in handle],
+            [x[2] for x in handle],
+            [x[3] for x in handle],
+            [x[4] for x in handle],
+        )
+
+
 def rss_gb() -> float:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
@@ -102,12 +142,18 @@ def main():
     parser.add_argument("--images", type=int, default=5000)
     parser.add_argument("--dets", type=int, default=100)
     parser.add_argument("--rss-limit-gb", type=float, default=8.0)
+    parser.add_argument(
+        "--raw", action="store_true",
+        help="score via raw (box, roi-probs) detections / add_boxlocal — "
+             "the production evaluator path (no full-image paste)",
+    )
     args = parser.parse_args()
 
     from mask_rcnn_tpu.engine.evaluator import InstanceSegmentationEvaluator
 
     ds = SyntheticCOCOScaleDataset(args.images)
-    model = FakePredictModel(ds, args.dets)
+    model = (FakeRawPredictModel if args.raw else FakePredictModel)(
+        ds, args.dets)
     class_names = [f"c{i}" for i in range(80)]
     ev = InstanceSegmentationEvaluator(ds, class_names, kind="coco",
                                        batch_size=4)

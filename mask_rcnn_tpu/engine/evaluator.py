@@ -103,8 +103,8 @@ class InstanceSegmentationEvaluator:
                 if failed:
                     continue  # keep draining so the producer never blocks
                 try:
-                    for args in item:
-                        ev.add(*args)
+                    for fn, args in item:
+                        getattr(ev, fn)(*args)
                 except BaseException as e:  # surfaced after join
                     failure.append(e)
                     failed = True
@@ -119,13 +119,36 @@ class InstanceSegmentationEvaluator:
             for e, mk, lb, sc in zip(examples, masks, labels, scores):
                 gt_mask = np.asarray(e[3], bool)
                 if self.kind == "coco":
-                    work.append((
+                    work.append(("add", (
                         mk, lb, sc, gt_mask, e[2],
                         e[4] if len(e) > 4 else None,
                         e[5] if len(e) > 5 else None,
-                    ))
+                    )))
                 else:
-                    work.append((mk, lb, sc, gt_mask, e[2]))
+                    work.append(("add", (mk, lb, sc, gt_mask, e[2])))
+                n_added += 1
+            q.put(work)
+
+        def enqueue_raw(examples, results):
+            """Box-local scoring: masks never pasted to full resolution
+            (``add_boxlocal`` computes the identical integer-count IoUs
+            from each detection's box crop)."""
+            nonlocal n_added
+            bboxes, probs, labels, scores, sizes = results
+            work = []
+            for e, bb, pr, lb, sc, size in zip(
+                examples, bboxes, probs, labels, scores, sizes
+            ):
+                gt_mask = np.asarray(e[3], bool)
+                if self.kind == "coco":
+                    work.append(("add_boxlocal", (
+                        bb, pr, lb, sc, size, gt_mask, e[2],
+                        e[4] if len(e) > 4 else None,
+                        e[5] if len(e) > 5 else None,
+                    )))
+                else:
+                    work.append(("add_boxlocal",
+                                 (bb, pr, lb, sc, size, gt_mask, e[2])))
                 n_added += 1
             q.put(work)
 
@@ -136,7 +159,11 @@ class InstanceSegmentationEvaluator:
         # to sequential predict — tests/test_api_stream.py). Models without
         # the split (bare test stubs) fall back to blocking predict.
         submit = getattr(model, "predict_submit", None)
-        collect = getattr(model, "predict_collect", None)
+        collect_raw = getattr(model, "predict_collect_raw", None)
+        if collect_raw is not None:
+            collect, ingest = collect_raw, enqueue_raw
+        else:
+            collect, ingest = getattr(model, "predict_collect", None), enqueue
         pipelined = submit is not None and collect is not None
         pending = None  # (handle, examples) with one device batch in flight
         try:
@@ -150,7 +177,7 @@ class InstanceSegmentationEvaluator:
                 if pipelined:
                     handle = submit(imgs)
                     if pending is not None:
-                        enqueue(pending[1], collect(pending[0]))
+                        ingest(pending[1], collect(pending[0]))
                     pending = (handle, examples)
                 else:
                     enqueue(examples, model.predict(imgs))
@@ -158,7 +185,7 @@ class InstanceSegmentationEvaluator:
                     pending = None
                     break
             if pending is not None:
-                enqueue(pending[1], collect(pending[0]))
+                ingest(pending[1], collect(pending[0]))
         finally:
             q.put(None)
             t.join()

@@ -326,6 +326,27 @@ class MaskRCNNResNet:
             scores.append(score)
         return bboxes, masks, labels, scores
 
+    def predict_collect_raw(self, handle):
+        """Block on a :meth:`predict_submit` handle WITHOUT pasting masks.
+
+        Returns ``(bboxes, mask_probs, labels, scores, sizes)`` per image
+        — the (R, M, M) roi probabilities plus boxes, from which
+        ``utils.masks.paste_masks`` would produce the full-image masks.
+        Evaluation consumes this directly (``add_boxlocal``): mask IoU
+        only needs each detection's box-local pixels, so the sweep skips
+        the full-resolution paste entirely.
+        """
+        out, sizes, n = handle
+        out = jax.device_get(out)
+        bboxes, probs_l, labels, scores = [], [], [], []
+        for i in range(n):
+            valid = out["valid"][i] & (out["scores"][i] >= self.score_thresh)
+            bboxes.append(out["boxes"][i][valid].astype(np.float32))
+            labels.append(out["labels"][i][valid].astype(np.int32))
+            scores.append(out["scores"][i][valid].astype(np.float32))
+            probs_l.append(out["mask_probs"][i][valid].astype(np.float32))
+        return bboxes, probs_l, labels, scores, sizes[:n]
+
     def predict(
         self, imgs: Sequence[np.ndarray]
     ) -> Tuple[List[np.ndarray], List[np.ndarray], List[np.ndarray],

@@ -230,6 +230,99 @@ class COCOEvaluation:
             }
         self._per_image.append(record)
 
+    def add_boxlocal(
+        self,
+        pred_bboxes,
+        pred_mask_probs,
+        pred_labels,
+        pred_scores,
+        im_size,
+        gt_masks,
+        gt_labels,
+        gt_crowds=None,
+        gt_areas=None,
+    ):
+        """Streaming 'segm' ingestion straight from (box, roi-probs) pairs.
+
+        Produces records identical to :meth:`add` fed with
+        ``paste_masks(pred_bboxes, pred_mask_probs, ...)`` — a predicted
+        mask is zero outside its (expanded, clipped) box, so every
+        intersection and area is an integer count over exactly the pixels
+        the paste would have written, computed box-locally. Skips the
+        full-image canvases (the dominant host cost of an evaluation
+        sweep) and intersects gt only inside each detection's box.
+        """
+        assert self.iou_type == "segm"
+        from mask_rcnn_tpu.utils.masks import boxlocal_masks
+
+        im_h, im_w = im_size
+        d = len(pred_labels)
+        g = len(gt_labels)
+        if gt_crowds is None:
+            gt_crowds = np.zeros(g, bool)
+        gt_crowds = np.asarray(gt_crowds).astype(bool)
+        gt_masks = (
+            np.asarray(gt_masks, bool) if g else np.zeros((0, 1, 1), bool)
+        )
+        locals_ = (
+            boxlocal_masks(
+                np.asarray(pred_bboxes, np.float32),
+                np.asarray(pred_mask_probs, np.float32),
+                im_h,
+                im_w,
+            )
+            if d
+            else []
+        )
+        det_area = np.asarray(
+            [local.sum() for local, _, _ in locals_], np.int64
+        )
+        gt_area_mask = gt_masks.sum(axis=(1, 2)).astype(np.int64)
+        gt_area = (
+            np.asarray(gt_areas, np.float64)
+            if gt_areas is not None
+            else gt_area_mask.astype(np.float64)
+        )
+
+        order = np.argsort(-np.asarray(pred_scores), kind="stable")
+        record = {}
+        cats = set(np.asarray(pred_labels).tolist()) | set(
+            np.asarray(gt_labels).tolist()
+        )
+        self._class_ids |= cats
+        for cat in cats:
+            d_sel = order[np.asarray(pred_labels)[order] == cat]
+            g_sel = np.flatnonzero(np.asarray(gt_labels) == cat)
+            ious = np.zeros((len(d_sel), len(g_sel)), np.float64)
+            if len(d_sel) and len(g_sel):
+                gmc = gt_masks[g_sel]
+                crowd_c = gt_crowds[g_sel]
+                garea_c = gt_area_mask[g_sel]
+                for row, di in enumerate(d_sel):
+                    local, y0, x0 = locals_[di]
+                    h, w = local.shape
+                    if h and w:
+                        crop = gmc[:, y0:y0 + h, x0:x0 + w]
+                        inter = (crop & local[None]).sum(axis=(1, 2))
+                    else:
+                        inter = np.zeros(len(g_sel), np.int64)
+                    union = np.where(
+                        crowd_c,
+                        det_area[di],
+                        det_area[di] + garea_c - inter,
+                    )
+                    ious[row] = np.where(
+                        union > 0, inter / np.maximum(union, 1), 0.0
+                    )
+            record[cat] = {
+                "ious": ious,
+                "det_scores": np.asarray(pred_scores)[d_sel],
+                "det_areas": det_area[d_sel].astype(np.float64),
+                "gt_areas": gt_area[g_sel],
+                "gt_crowds": gt_crowds[g_sel],
+            }
+        self._per_image.append(record)
+
     # -- distributed pooling ------------------------------------------------
     def get_state(self):
         """Compact picklable state (per-image match records) for pooling

@@ -27,6 +27,52 @@ def expand_boxes(boxes: np.ndarray, scale: float) -> np.ndarray:
     return out
 
 
+def boxlocal_masks(bbox, mask_probs, im_h: int, im_w: int):
+    """Per-detection clipped box-local binarized masks.
+
+    Exactly the pixels :func:`paste_masks` would write, without the
+    full-image canvases: for each detection, the cv2-parity resize +
+    0.5 threshold of its (M, M) probabilities, clipped to the image.
+
+    Returns a list of ``(local (h_i, w_i) bool, y0, x0)``; an empty local
+    (shape (0, 0)) marks a detection fully outside the image.
+    """
+    r = len(bbox)
+    empty = np.zeros((0, 0), dtype=bool)
+    if r == 0:
+        return []
+    m = mask_probs.shape[1]
+    ref_boxes = bbox[:, [1, 0, 3, 2]]  # -> x1, y1, x2, y2
+    ref_boxes = expand_boxes(ref_boxes, (m + 2.0) / m)
+    ref_boxes = ref_boxes.astype(np.int32)
+    padded = np.zeros((m + 2, m + 2), dtype=np.float32)
+
+    out = []
+    for i in range(r):
+        padded[1:-1, 1:-1] = mask_probs[i]
+        ref = ref_boxes[i]
+        w = max(ref[2] - ref[0] + 1, 1)
+        h = max(ref[3] - ref[1] + 1, 1)
+        resized = cv2.resize(padded, (w, h))
+        binarized = resized > 0.5
+
+        x_0 = max(ref[0], 0)
+        x_1 = min(ref[2] + 1, im_w)
+        y_0 = max(ref[1], 0)
+        y_1 = min(ref[3] + 1, im_h)
+        if x_1 <= x_0 or y_1 <= y_0:
+            out.append((empty, 0, 0))
+            continue
+        out.append((
+            binarized[
+                (y_0 - ref[1]):(y_1 - ref[1]), (x_0 - ref[0]):(x_1 - ref[0])
+            ],
+            y_0,
+            x_0,
+        ))
+    return out
+
+
 def paste_masks(
     bbox: np.ndarray, mask_probs: np.ndarray, im_h: int, im_w: int
 ) -> np.ndarray:
@@ -41,30 +87,10 @@ def paste_masks(
         (R, im_h, im_w) bool masks.
     """
     r = len(bbox)
-    if r == 0:
-        return np.zeros((0, im_h, im_w), dtype=bool)
-    m = mask_probs.shape[1]
-    ref_boxes = bbox[:, [1, 0, 3, 2]]  # -> x1, y1, x2, y2
-    ref_boxes = expand_boxes(ref_boxes, (m + 2.0) / m)
-    ref_boxes = ref_boxes.astype(np.int32)
-    padded = np.zeros((m + 2, m + 2), dtype=np.float32)
-
     out = np.zeros((r, im_h, im_w), dtype=bool)
-    for i in range(r):
-        padded[1:-1, 1:-1] = mask_probs[i]
-        ref = ref_boxes[i]
-        w = max(ref[2] - ref[0] + 1, 1)
-        h = max(ref[3] - ref[1] + 1, 1)
-        resized = cv2.resize(padded, (w, h))
-        binarized = resized > 0.5
-
-        x_0 = max(ref[0], 0)
-        x_1 = min(ref[2] + 1, im_w)
-        y_0 = max(ref[1], 0)
-        y_1 = min(ref[3] + 1, im_h)
-        if x_1 <= x_0 or y_1 <= y_0:
-            continue
-        out[i, y_0:y_1, x_0:x_1] = binarized[
-            (y_0 - ref[1]):(y_1 - ref[1]), (x_0 - ref[0]):(x_1 - ref[0])
-        ]
+    for i, (local, y0, x0) in enumerate(
+        boxlocal_masks(bbox, mask_probs, im_h, im_w)
+    ):
+        h, w = local.shape
+        out[i, y0:y0 + h, x0:x0 + w] = local
     return out

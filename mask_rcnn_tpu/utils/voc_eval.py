@@ -107,6 +107,84 @@ class VOCEvaluation:
                 else:
                     self._match[lbl].append(0)
 
+    def add_boxlocal(self, p_bboxes, p_mask_probs, p_labels, p_scores,
+                     im_size, g_masks, g_labels, g_difficult=None):
+        """Same matching as :meth:`add` fed with pasted masks, computed
+        box-locally: a prediction is zero outside its (expanded, clipped)
+        box, so ``IoU = inter / (area_p + area_g - inter)`` needs only the
+        gt crop under each detection's box — no full-image canvases."""
+        from mask_rcnn_tpu.utils.masks import boxlocal_masks
+
+        im_h, im_w = im_size
+        p_labels = np.asarray(p_labels)
+        p_scores = np.asarray(p_scores)
+        g_labels = np.asarray(g_labels)
+        g_masks = (
+            np.asarray(g_masks, bool)
+            if len(g_labels)
+            else np.zeros((0, 1, 1), bool)
+        )
+        locals_ = (
+            boxlocal_masks(
+                np.asarray(p_bboxes, np.float32),
+                np.asarray(p_mask_probs, np.float32),
+                im_h,
+                im_w,
+            )
+            if len(p_labels)
+            else []
+        )
+        p_areas = np.asarray(
+            [local.sum() for local, _, _ in locals_], np.int64
+        )
+        g_areas = g_masks.sum(axis=(1, 2)).astype(np.int64)
+        if g_difficult is None:
+            g_difficult = np.zeros(len(g_labels), bool)
+        else:
+            g_difficult = np.asarray(g_difficult, bool)
+        for lbl in np.unique(
+            np.concatenate([p_labels, g_labels]).astype(int)
+        ):
+            pi = np.flatnonzero(p_labels == lbl)
+            gi = np.flatnonzero(g_labels == lbl)
+            diff_l = g_difficult[gi]
+            self._n_pos[lbl] += int(np.logical_not(diff_l).sum())
+            order = np.argsort(-p_scores[pi], kind="stable")
+            pi = pi[order]
+            self._score[lbl].extend(p_scores[pi].tolist())
+            if len(pi) == 0:
+                continue
+            if len(gi) == 0:
+                self._match[lbl].extend([0] * len(pi))
+                continue
+            iou = np.zeros((len(pi), len(gi)), np.float64)
+            for row, p in enumerate(pi):
+                local, y0, x0 = locals_[p]
+                h, w = local.shape
+                if h and w:
+                    crop = g_masks[gi][:, y0:y0 + h, x0:x0 + w]
+                    inter = (crop & local[None]).sum(axis=(1, 2))
+                else:
+                    inter = np.zeros(len(gi), np.int64)
+                union = p_areas[p] + g_areas[gi] - inter
+                iou[row] = np.where(
+                    union > 0, inter / np.maximum(union, 1), 0.0
+                )
+            gt_index = iou.argmax(axis=1)
+            gt_index[iou.max(axis=1) < self.iou_thresh] = -1
+            selec = np.zeros(len(gi), bool)
+            for gt_idx in gt_index:
+                if gt_idx >= 0:
+                    if diff_l[gt_idx]:
+                        self._match[lbl].append(-1)
+                    elif not selec[gt_idx]:
+                        self._match[lbl].append(1)
+                    else:
+                        self._match[lbl].append(0)
+                    selec[gt_idx] = True
+                else:
+                    self._match[lbl].append(0)
+
     def get_state(self):
         """Compact picklable state (per-class score/match lists) for
         pooling across evaluation shards."""
