@@ -91,7 +91,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "R-50-C4 COCO inference throughput (1 TPU chip)",
+                "metric": "R-50-C4 COCO inference throughput (1 TPU chip, device steady-state)",
                 "value": round(hz, 3),
                 "unit": "images/sec",
                 "vs_baseline": round(hz / BASELINE_HZ, 2),

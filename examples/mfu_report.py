@@ -166,12 +166,9 @@ def main():
         emit(f"train fwd-loss b{n} {dtype}", t, fl, n / t)
 
         # full train step (scan of real consecutive steps)
-        step = jax.jit(make_train_step(cfg, optimizer))
-        lowered = step.lower(state, batch, key).compile()
-        t = timed_scan_steps(
-            make_train_step(cfg, optimizer), state, batch, key,
-            iters=args.iters,
-        )
+        step_fn = make_train_step(cfg, optimizer)
+        lowered = jax.jit(step_fn).lower(state, batch, key).compile()
+        t = timed_scan_steps(step_fn, state, batch, key, iters=args.iters)
         fl = graph_flops(lowered)
         emit(f"train step b{n} {dtype}", t, fl, n / t)
 

@@ -160,7 +160,29 @@ class InstanceSegmentationEvaluator:
         # the split (bare test stubs) fall back to blocking predict.
         submit = getattr(model, "predict_submit", None)
         collect_raw = getattr(model, "predict_collect_raw", None)
-        if collect_raw is not None:
+
+        def _definer(name):
+            for k in type(model).__mro__:
+                if name in vars(k):
+                    return k
+            return None
+
+        # Prefer raw (paste-free) collection, but never shadow a subclass
+        # that overrides predict_collect below where predict_collect_raw is
+        # defined — such an override post-processes detections and must
+        # stay authoritative for evaluation.
+        raw_cls, collect_cls = _definer("predict_collect_raw"), _definer(
+            "predict_collect"
+        )
+        use_raw = collect_raw is not None and (
+            collect_cls is None or (
+                raw_cls is not None and issubclass(raw_cls, collect_cls)
+            )
+        )
+        inst = getattr(model, "__dict__", {})
+        if "predict_collect" in inst and "predict_collect_raw" not in inst:
+            use_raw = False  # instance-level override wins likewise
+        if use_raw:
             collect, ingest = collect_raw, enqueue_raw
         else:
             collect, ingest = getattr(model, "predict_collect", None), enqueue

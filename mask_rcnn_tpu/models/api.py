@@ -51,13 +51,9 @@ def _compiled_predict(cfg: MaskRCNNConfig, mesh=None):
 
     if mesh is None:
         return jax.jit(fn)
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mask_rcnn_tpu.parallel import make_parallel_predict_step
 
-    rep = NamedSharding(mesh, P())
-    dat = NamedSharding(mesh, P("data"))
-    return jax.jit(
-        fn, in_shardings=(rep, dat, dat, dat), out_shardings=dat
-    )
+    return make_parallel_predict_step(fn, mesh)
 
 
 def find_imagenet_npz(n_layers: int) -> str:

@@ -72,8 +72,6 @@ def kth_largest_key_pallas(key, k, interpret=None):
     ``interpret=None`` auto-selects interpreter mode off-TPU so the CPU
     test suite exercises identical semantics.
     """
-    import functools
-
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

@@ -189,3 +189,27 @@ def test_evaluator_boxlocal_matches_paste_path(kind):
     assert r_paste.keys() == r_raw.keys()
     for k in r_paste:
         np.testing.assert_array_equal(r_paste[k], r_raw[k], err_msg=k)
+
+
+def test_subclass_predict_collect_override_wins():
+    """A model that overrides predict_collect below where
+    predict_collect_raw is defined must be scored through its override
+    (the raw path would bypass the subclass's post-processing)."""
+
+    class Base(_RawCaseModel):
+        def predict_collect_raw(self, handle):
+            raise AssertionError("raw path must not be used")
+
+        def predict_collect(self, handle):
+            return _PasteModel.predict_collect(self, handle)
+
+    class Sub(Base):
+        def predict_collect(self, handle):  # post-processing override
+            bboxes, masks, labels, scores = Base.predict_collect(self, handle)
+            return bboxes, masks, labels, [s * 0 + 0.5 for s in scores]
+
+    ds = _EvalDataset(n=2)
+    ev = InstanceSegmentationEvaluator(ds, ["c0", "c1", "c2", "c3"],
+                                       kind="coco", batch_size=2)
+    report = ev(Sub())  # raises inside the scorer if raw were chosen
+    assert "validation/main/map" in report
