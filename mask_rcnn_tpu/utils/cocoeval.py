@@ -274,10 +274,23 @@ class COCOEvaluation:
             if d
             else []
         )
-        det_area = np.asarray(
-            [local.sum() for local, _, _ in locals_], np.int64
-        )
-        gt_area_mask = gt_masks.sum(axis=(1, 2)).astype(np.int64)
+        # Hot loop (intersections + areas over every label-matching det/gt
+        # pair) runs in C++ when the native lib builds; the numpy fallback
+        # below is the oracle (tests/test_native.py).
+        from mask_rcnn_tpu.utils import native
+
+        inter_all = None
+        if d and g:
+            res = native.boxlocal_inter(
+                locals_, gt_masks, pred_labels, gt_labels
+            )
+            if res is not None:
+                inter_all, det_area, gt_area_mask = res
+        if inter_all is None:
+            det_area = np.asarray(
+                [local.sum() for local, _, _ in locals_], np.int64
+            )
+            gt_area_mask = gt_masks.sum(axis=(1, 2)).astype(np.int64)
         gt_area = (
             np.asarray(gt_areas, np.float64)
             if gt_areas is not None
@@ -294,7 +307,18 @@ class COCOEvaluation:
             d_sel = order[np.asarray(pred_labels)[order] == cat]
             g_sel = np.flatnonzero(np.asarray(gt_labels) == cat)
             ious = np.zeros((len(d_sel), len(g_sel)), np.float64)
-            if len(d_sel) and len(g_sel):
+            if len(d_sel) and len(g_sel) and inter_all is not None:
+                inter = inter_all[np.ix_(d_sel, g_sel)]
+                union = np.where(
+                    gt_crowds[g_sel][None, :],
+                    det_area[d_sel, None],
+                    det_area[d_sel, None] + gt_area_mask[g_sel][None, :]
+                    - inter,
+                )
+                ious = np.where(
+                    union > 0, inter / np.maximum(union, 1), 0.0
+                )
+            elif len(d_sel) and len(g_sel):
                 gmc = gt_masks[g_sel]
                 crowd_c = gt_crowds[g_sel]
                 garea_c = gt_area_mask[g_sel]

@@ -74,6 +74,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
                     ctypes.POINTER(ctypes.c_uint32),
                 ]
                 lib.rle_encode.restype = c_i64
+                lib.boxlocal_inter.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(c_i64),
+                    ctypes.POINTER(c_i64),
+                    c_i64,
+                    ctypes.POINTER(ctypes.c_uint8),
+                    c_i64, c_i64, c_i64,
+                    ctypes.POINTER(c_i64),
+                    ctypes.POINTER(c_i64),
+                    ctypes.POINTER(c_i64),
+                    ctypes.POINTER(c_i64),
+                    ctypes.POINTER(c_i64),
+                ]
                 _lib = lib
         return _lib
 
@@ -147,3 +160,55 @@ def rle_encode(mask: np.ndarray):
     n = lib.rle_encode(_ptr(m, ctypes.c_uint8), h, w,
                        _ptr(counts, ctypes.c_uint32))
     return counts[:n].astype(np.int64)
+
+
+def boxlocal_inter(locals_, gt_masks: np.ndarray,
+                   det_labels: np.ndarray, gt_labels: np.ndarray):
+    """Native detection-vs-gt intersections + det areas from box-local masks.
+
+    ``locals_``: list of ``(local (h, w) bool, y0, x0)`` from
+    ``utils.masks.boxlocal_masks`` (already clipped to the image).
+    Intersections are computed for label-equal pairs only (the evaluator
+    never reads cross-class pairs; others are 0). Returns
+    ``(inter (D, G) int64, det_area (D,) int64, gt_area (G,) int64)`` or
+    None if the native lib is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    d = len(locals_)
+    gt = np.asarray(gt_masks)
+    if gt.dtype == bool:  # same memory layout: view, don't copy ~MBs
+        gt = np.ascontiguousarray(gt).view(np.uint8)
+    else:
+        gt = np.ascontiguousarray(gt, np.uint8)
+    g, im_h, im_w = gt.shape if gt.ndim == 3 else (0, 1, 1)
+    meta = np.zeros((max(d, 1), 4), np.int64)
+    offsets = np.zeros(d + 1, np.int64)
+    for i, (local, y0, x0) in enumerate(locals_):
+        h, w = local.shape
+        meta[i] = (y0, x0, h, w)
+        offsets[i + 1] = offsets[i] + h * w
+    buf = np.empty(max(int(offsets[-1]), 1), np.uint8)
+    for i, (local, _, _) in enumerate(locals_):
+        buf[offsets[i]:offsets[i + 1]] = local.reshape(-1)
+    dl = np.ascontiguousarray(np.asarray(det_labels), np.int64)
+    glb = np.ascontiguousarray(np.asarray(gt_labels), np.int64)
+    inter = np.zeros((max(d, 1), max(g, 1)), np.int64)
+    area = np.zeros(max(d, 1), np.int64)
+    gt_area = np.zeros(max(g, 1), np.int64)
+    if d and g:
+        lib.boxlocal_inter(
+            _ptr(buf, ctypes.c_uint8), _ptr(offsets, ctypes.c_int64),
+            _ptr(meta, ctypes.c_int64), d,
+            _ptr(gt, ctypes.c_uint8), g, im_h, im_w,
+            _ptr(dl, ctypes.c_int64), _ptr(glb, ctypes.c_int64),
+            _ptr(inter, ctypes.c_int64), _ptr(area, ctypes.c_int64),
+            _ptr(gt_area, ctypes.c_int64),
+        )
+    elif d:
+        for i, (local, _, _) in enumerate(locals_):
+            area[i] = int(local.sum())
+    elif g:
+        gt_area[:g] = gt.reshape(g, -1).sum(axis=1, dtype=np.int64)
+    return inter[:d, :g], area[:d], gt_area[:g]

@@ -134,10 +134,22 @@ class VOCEvaluation:
             if len(p_labels)
             else []
         )
-        p_areas = np.asarray(
-            [local.sum() for local, _, _ in locals_], np.int64
-        )
-        g_areas = g_masks.sum(axis=(1, 2)).astype(np.int64)
+        # Intersections + areas in C++ when available (same kernel as the
+        # COCO path); the numpy loop below is the fallback oracle.
+        from mask_rcnn_tpu.utils import native
+
+        inter_all = None
+        if len(p_labels) and len(g_labels):
+            res = native.boxlocal_inter(
+                locals_, g_masks, p_labels, g_labels
+            )
+            if res is not None:
+                inter_all, p_areas, g_areas = res
+        if inter_all is None:
+            p_areas = np.asarray(
+                [local.sum() for local, _, _ in locals_], np.int64
+            )
+            g_areas = g_masks.sum(axis=(1, 2)).astype(np.int64)
         if g_difficult is None:
             g_difficult = np.zeros(len(g_labels), bool)
         else:
@@ -158,18 +170,25 @@ class VOCEvaluation:
                 self._match[lbl].extend([0] * len(pi))
                 continue
             iou = np.zeros((len(pi), len(gi)), np.float64)
-            for row, p in enumerate(pi):
-                local, y0, x0 = locals_[p]
-                h, w = local.shape
-                if h and w:
-                    crop = g_masks[gi][:, y0:y0 + h, x0:x0 + w]
-                    inter = (crop & local[None]).sum(axis=(1, 2))
-                else:
-                    inter = np.zeros(len(gi), np.int64)
-                union = p_areas[p] + g_areas[gi] - inter
-                iou[row] = np.where(
+            if inter_all is not None:
+                inter = inter_all[np.ix_(pi, gi)]
+                union = p_areas[pi, None] + g_areas[gi][None, :] - inter
+                iou = np.where(
                     union > 0, inter / np.maximum(union, 1), 0.0
                 )
+            else:
+                for row, p in enumerate(pi):
+                    local, y0, x0 = locals_[p]
+                    h, w = local.shape
+                    if h and w:
+                        crop = g_masks[gi][:, y0:y0 + h, x0:x0 + w]
+                        inter = (crop & local[None]).sum(axis=(1, 2))
+                    else:
+                        inter = np.zeros(len(gi), np.int64)
+                    union = p_areas[p] + g_areas[gi] - inter
+                    iou[row] = np.where(
+                        union > 0, inter / np.maximum(union, 1), 0.0
+                    )
             gt_index = iou.argmax(axis=1)
             gt_index[iou.max(axis=1) < self.iou_thresh] = -1
             selec = np.zeros(len(gi), bool)

@@ -178,7 +178,7 @@ def bbox_iou_np(a, b):
         b[:, 3] - b[:, 1], 0
     )
     union = area_a[:, None] + area_b[None, :] - inter
-    return np.where(union > 0, inter / union, 0.0)
+    return np.where(union > 0, inter / np.where(union > 0, union, 1.0), 0.0)
 
 
 def random_boxes(rng, n, height, width, min_size=1.0):

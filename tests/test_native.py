@@ -85,3 +85,37 @@ def test_rle_encode_native_roundtrip(seed):
     # starts with a zero run
     first_on = mask.flatten(order="F").argmax()
     assert counts[0] == first_on
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_boxlocal_inter_native_matches_python(seed):
+    rng = np.random.RandomState(seed)
+    im_h, im_w, d, g = 60, 80, 12, 5
+    gt = rng.rand(g, im_h, im_w) > 0.6
+    g_labels = rng.randint(0, 3, g)
+    d_labels = rng.randint(0, 3, d)
+    locals_ = []
+    for _ in range(d - 1):
+        h, w = rng.randint(1, 30, 2)
+        y0 = rng.randint(0, im_h - h)
+        x0 = rng.randint(0, im_w - w)
+        locals_.append(((rng.rand(h, w) > 0.4), y0, x0))
+    # fully-outside detection: empty local, as boxlocal_masks emits
+    locals_.append((np.zeros((0, 0), bool), 0, 0))
+
+    inter, area, gt_area = native.boxlocal_inter(
+        locals_, gt, d_labels, g_labels
+    )
+    assert inter.shape == (d, g) and area.shape == (d,)
+    np.testing.assert_array_equal(gt_area, gt.sum(axis=(1, 2)))
+    for i, (local, y0, x0) in enumerate(locals_):
+        assert area[i] == int(local.sum())
+        h, w = local.shape
+        for j in range(g):
+            if d_labels[i] != g_labels[j]:
+                assert inter[i, j] == 0
+                continue
+            want = int(
+                (gt[j, y0:y0 + h, x0:x0 + w] & local).sum()
+            ) if h and w else 0
+            assert inter[i, j] == want
