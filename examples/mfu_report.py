@@ -95,6 +95,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=2)
     parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--layers", type=int, default=50, choices=(50, 101))
     args = parser.parse_args()
 
     import jax
@@ -125,13 +126,14 @@ def main():
         print(f"{name:28s} {t*1e3:8.1f} {fl/1e9:9.1f} {tf:8.1f} "
               f"{mfu:6.1%} {imgs:7.1f}", flush=True)
 
-    print(f"R-50-C4 @ {h}x{w}, TPU v5e (peak {PEAK_FLOPS/1e12:.0f} TF bf16)")
+    print(f"R-{args.layers}-C4 @ {h}x{w}, TPU v5e "
+          f"(peak {PEAK_FLOPS/1e12:.0f} TF bf16)")
     print(f"{'stage':28s} {'ms':>8s} {'GFLOP':>9s} {'TFLOP/s':>8s} "
           f"{'MFU':>6s} {'img/s':>7s}")
     for dtype in ("float32", "bfloat16"):
         cfg = MaskRCNNConfig(
             n_fg_class=80,
-            n_layers=50,
+            n_layers=args.layers,
             min_size=800,
             max_size=1333,
             anchor_scales=(2.0, 4.0, 8.0, 16.0, 32.0),

@@ -210,3 +210,37 @@ def test_conv2d_matches_torch():
     yt = torch.nn.functional.conv2d(xt, wt, stride=2, padding=3)
     want = yt.numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_resnet101_params_and_train_grads():
+    """R-101-C4: 23 res4 blocks (RESNET_N_BLOCKS, reference
+    resnet_extractor.py ResNet101Layers), shared head/RPN. One
+    value_and_grad covers the deep backbone forward+backward; the decode
+    and loss paths are architecture-independent and covered by the R-50
+    tests."""
+    cfg = tiny_config(n_layers=101)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    res4 = params["extractor"]["res4"]
+    assert "b22" in res4 and "b23" not in res4  # a + b1..b22 = 23 blocks
+    assert "b3" in params["extractor"]["res3"]  # 4 blocks, like R-50
+
+    batch = make_batch(cfg, n=1)
+    pt_cfg = ProposalTargetConfig(n_sample=16)
+
+    def loss_fn(p):
+        return train_loss(
+            p, cfg, batch, jax.random.PRNGKey(0), proposal_cfg=pt_cfg
+        )
+
+    (loss, metrics), grads = jax.jit(
+        lambda p: jax.value_and_grad(loss_fn, has_aux=True)(p)
+    )(params)
+    assert np.isfinite(float(loss))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    # gradient reaches the deepest unfrozen block; freeze cut still holds
+    assert (
+        float(jnp.abs(grads["extractor"]["res4"]["b22"]["conv1"]["W"]).max())
+        > 0
+    )
+    assert float(jnp.abs(grads["extractor"]["conv1"]["W"]).max()) == 0.0
