@@ -11,6 +11,9 @@ Usage: ./examples/check_eval_memory.py [--images 5000] [--dets 100]
 
 Recorded result (2026-08-17, 1-core host): 5000 images x 100 dets at
 800x1216 -> peak RSS 0.96 GB (vs ~486 GB of raw mask bytes), 2173 s.
+With the native ingestion kernel (2026-08-18,
+native/cocoeval.cpp::boxlocal_inter): same sweep in 855 s (2.5x), peak
+RSS 1.17 GB.
 """
 
 from __future__ import annotations
