@@ -150,28 +150,13 @@ class COCOInstanceSegmentationDataset:
         """No network egress in this environment: print sources, and md5-
         verify any archive already present on disk (reference behavior:
         cached_download with md5, datasets/coco.py:24-50)."""
-        import hashlib
+        from mask_rcnn_tpu.data._download import print_sources_and_verify
 
-        print("No network egress in this environment. Fetch manually:")
-        for name, (url, md5) in self.DOWNLOAD_URLS.items():
-            # The key may carry a subdirectory ('annotations/...'); check the
-            # documented location first, then a flat root-level fallback.
-            candidates = [osp.join(self.root, name)]
-            flat = osp.join(self.root, osp.basename(name))
-            if flat not in candidates:
-                candidates.append(flat)
-            path = next((p for p in candidates if osp.exists(p)), None)
-            status = ""
-            if path is not None and md5:
-                h = hashlib.md5()
-                with open(path, "rb") as f:
-                    for chunk in iter(lambda: f.read(1 << 20), b""):
-                        h.update(chunk)
-                ok = h.hexdigest() == md5
-                status = "  [md5 OK]" if ok else (
-                    f"  [md5 MISMATCH: {h.hexdigest()} != {md5}]"
-                )
-            print(f"  {name}: {url}{status}")
+        print_sources_and_verify(
+            self.root,
+            [(name, url, md5)
+             for name, (url, md5) in self.DOWNLOAD_URLS.items()],
+        )
 
     def get_example(self, i: int):
         img_id = self.img_ids[i]

@@ -189,13 +189,28 @@ class TrainLoader:
         ``step // steps_per_epoch`` would resume at the wrong position.
         """
         epoch, remaining = 0, global_step
+        zero_run = 0
         while True:
             n = self.batches_in_epoch(epoch)
-            if n <= 0:
-                return epoch, 0
-            if remaining < n:
-                return epoch, remaining
-            remaining -= n
+            if n > 0:
+                zero_run = 0
+                if remaining < n:
+                    return epoch, remaining
+                remaining -= n
+            else:
+                # An epoch whose shuffle forms no whole batches contributes
+                # no steps — the train loop skips straight past it, so the
+                # walk must too (returning (epoch, 0) here would replay
+                # later epochs' already-consumed batches after a resume).
+                zero_run += 1
+                if zero_run >= 1000:
+                    if remaining:
+                        raise RuntimeError(
+                            f"cannot locate step {global_step}: {zero_run} "
+                            "consecutive epochs form no batches (checkpoint "
+                            "from a different loader configuration?)"
+                        )
+                    return epoch, 0
             epoch += 1
 
     def _make_batches(
@@ -259,4 +274,11 @@ class TrainLoader:
             yield item
 
     def steps_per_epoch(self) -> int:
-        return len(self.epoch_indices(0)) // self.batch_size
+        """Nominal batches per epoch (the first epoch that forms any —
+        an unlucky aspect-group shuffle can leave epoch 0 empty while
+        later epochs batch fine)."""
+        for e in range(1000):
+            n = len(self.epoch_indices(e)) // self.batch_size
+            if n:
+                return n
+        return 0

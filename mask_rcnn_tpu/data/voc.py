@@ -22,25 +22,9 @@ VOC_CLASS_NAMES = (
 )
 
 
-def _print_sources_and_verify(root: str, archives) -> None:
-    """Egress-less download(): print sources, md5-verify archives already
-    on disk (the reference delegates to fcn's cached_download, which
-    verifies the same md5s — datasets/voc/voc.py:46-47, sbd.py:69-70)."""
-    import hashlib
-
-    print("No network egress in this environment. Fetch manually:")
-    for name, url, md5 in archives:
-        path = osp.join(osp.expanduser(root), name)
-        status = ""
-        if osp.exists(path) and md5:
-            h = hashlib.md5()
-            with open(path, "rb") as f:
-                for chunk in iter(lambda: f.read(1 << 20), b""):
-                    h.update(chunk)
-            status = "  [md5 OK]" if h.hexdigest() == md5 else (
-                f"  [md5 MISMATCH: {h.hexdigest()} != {md5}]"
-            )
-        print(f"  {name}: {url}{status}")
+from mask_rcnn_tpu.data._download import (
+    print_sources_and_verify as _print_sources_and_verify,
+)
 
 
 def _read_label_png(path: str) -> np.ndarray:

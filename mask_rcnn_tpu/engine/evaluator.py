@@ -188,31 +188,60 @@ class InstanceSegmentationEvaluator:
             collect, ingest = getattr(model, "predict_collect", None), enqueue
         pipelined = submit is not None and collect is not None
         pending = None  # (handle, examples) with one device batch in flight
+        sweep_error = None
         try:
-            for start in range(0, len(indices), batch_size):
-                examples = [
-                    self.dataset[i]
-                    for i in indices[start:start + batch_size]
-                ]
-                imgs = [e[0].transpose(2, 0, 1).astype(np.float32)
-                        for e in examples]
-                if pipelined:
-                    handle = submit(imgs)
-                    if pending is not None:
-                        ingest(pending[1], collect(pending[0]))
-                    pending = (handle, examples)
-                else:
-                    enqueue(examples, model.predict(imgs))
-                if failure:
-                    pending = None
-                    break
-            if pending is not None:
-                ingest(pending[1], collect(pending[0]))
-        finally:
-            q.put(None)
-            t.join()
-        if failure:
-            raise RuntimeError("evaluation scoring failed") from failure[0]
+            try:
+                for start in range(0, len(indices), batch_size):
+                    examples = [
+                        self.dataset[i]
+                        for i in indices[start:start + batch_size]
+                    ]
+                    imgs = [e[0].transpose(2, 0, 1).astype(np.float32)
+                            for e in examples]
+                    if pipelined:
+                        handle = submit(imgs)
+                        if pending is not None:
+                            ingest(pending[1], collect(pending[0]))
+                        pending = (handle, examples)
+                    else:
+                        enqueue(examples, model.predict(imgs))
+                    if failure:
+                        pending = None
+                        break
+                if pending is not None:
+                    ingest(pending[1], collect(pending[0]))
+            finally:
+                q.put(None)
+                t.join()
+            if failure:
+                raise RuntimeError(
+                    "evaluation scoring failed"
+                ) from failure[0]
+        except BaseException as e:
+            # Multi-process: raising here would skip the collectives below
+            # and leave every other rank blocked in process_allgather
+            # forever. Exchange failure flags first (all ranks reach that
+            # collective), then raise everywhere.
+            if pc == 1:
+                raise
+            sweep_error = e
+        if pc > 1:
+            from jax.experimental import multihost_utils
+
+            flags = np.asarray(
+                multihost_utils.process_allgather(
+                    np.asarray([sweep_error is not None], np.int32)
+                )
+            ).reshape(-1)
+            if flags.any():
+                bad = np.flatnonzero(flags).tolist()
+                if sweep_error is not None:
+                    raise RuntimeError(
+                        f"evaluation failed on process(es) {bad}"
+                    ) from sweep_error
+                raise RuntimeError(
+                    f"evaluation failed on process(es) {bad}"
+                )
 
         if pc > 1 and self.pool_detections:
             # Exact global metric: gather every shard's compact records
@@ -255,10 +284,12 @@ class InstanceSegmentationEvaluator:
 
     @staticmethod
     def _pool_states(ev, n_added: int) -> int:
-        """Allgather every process's compact accumulator state and merge the
-        other shards into ``ev``. Returns the global example count. Ragged
-        pickle payloads ride two fixed-shape collectives (max-length, then
-        padded bytes)."""
+        """Allgather every process's compact accumulator state and rebuild
+        ``ev`` from the shards in rank order — every rank reconstructs the
+        records in the SAME order, so tied detection scores break the same
+        way everywhere and the pooled metric is bit-identical across ranks.
+        Returns the global example count. Ragged pickle payloads ride two
+        fixed-shape collectives (max-length, then padded bytes)."""
         import pickle
 
         from jax.experimental import multihost_utils
@@ -276,13 +307,14 @@ class InstanceSegmentationEvaluator:
         gathered = np.asarray(
             multihost_utils.process_allgather(padded)
         )  # (pc, max_len)
-        import jax
 
         total = 0
         for rank, (row, ln) in enumerate(zip(gathered, lengths)):
             count, state = pickle.loads(bytes(row[: int(ln)]))
             total += count
-            if rank != jax.process_index():
+            if rank == 0:
+                ev.set_state(state)
+            else:
                 ev.merge_state(state)
         return total
 

@@ -98,6 +98,12 @@ def train(
 
     steps_per_epoch = train_loader.steps_per_epoch()
     total_steps = int(max_epoch * steps_per_epoch)
+    if total_steps <= 0:
+        raise ValueError(
+            f"no training steps: steps_per_epoch={steps_per_epoch} at "
+            f"batch {train_loader.batch_size} x max_epoch={max_epoch} "
+            "(batch size larger than the per-host dataset shard?)"
+        )
     # The LR schedule always spans the full max_epoch run; stop_at_step only
     # interrupts execution (e.g. to checkpoint and resume later).
     stop_step = min(stop_at_step or total_steps, total_steps)

@@ -32,6 +32,10 @@ def _float_to_ordered_uint32(x):
 
     Positive floats map to bits | 0x80000000; negative floats map to
     ~bits. Result compares like the floats (NaN-free inputs assumed).
+    Signed zeros follow the same IEEE total order as lax.top_k's
+    comparator (+0.0 ranks above -0.0 on both CPU and TPU lowerings —
+    verified by tests/test_topk.py::test_signed_zeros_tie_break), so the
+    bit-identical-indices guarantee holds for them too.
     """
     bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
     sign = (bits >> 31).astype(jnp.bool_)

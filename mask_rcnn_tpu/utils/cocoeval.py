@@ -360,6 +360,12 @@ class COCOEvaluation:
         self._class_ids |= set(state["class_ids"])
         self._per_image.extend(state["per_image"])
 
+    def set_state(self, state) -> None:
+        """Replace the accumulator with ``state`` (used to rebuild pooled
+        records in a rank-independent order)."""
+        self._class_ids = set(state["class_ids"])
+        self._per_image = list(state["per_image"])
+
     def _evaluate_all(self):
         """-> eval structures: per (cat, area, maxDet) concatenated scores,
         tp/fp flags; then precision/recall tables."""

@@ -62,6 +62,38 @@ class VOCEvaluation:
         self._score: Dict[int, List[float]] = defaultdict(list)
         self._match: Dict[int, List[int]] = defaultdict(list)
 
+    def _ingest_class(self, lbl, scores_desc, iou, diff_l) -> None:
+        """Record one (image, class): ``scores_desc`` are the class's
+        prediction scores in descending order, ``iou`` the (P, G) matrix in
+        that prediction order, ``diff_l`` the class's gt difficult flags.
+
+        Argmax-IoU assignment per prediction (chainercv selec logic): a TP
+        requires the argmax gt itself to be unselected — a better-but-taken
+        gt does NOT fall through to the next-best gt. Shared by :meth:`add`
+        and :meth:`add_boxlocal` so the paste and box-local paths cannot
+        diverge in matching semantics."""
+        self._n_pos[lbl] += int(np.logical_not(diff_l).sum())
+        self._score[lbl].extend(np.asarray(scores_desc).tolist())
+        if len(scores_desc) == 0:
+            return
+        if iou.shape[1] == 0:
+            self._match[lbl].extend([0] * len(scores_desc))
+            return
+        gt_index = iou.argmax(axis=1)
+        gt_index[iou.max(axis=1) < self.iou_thresh] = -1
+        selec = np.zeros(iou.shape[1], bool)
+        for gt_idx in gt_index:
+            if gt_idx >= 0:
+                if diff_l[gt_idx]:
+                    self._match[lbl].append(-1)
+                elif not selec[gt_idx]:
+                    self._match[lbl].append(1)
+                else:
+                    self._match[lbl].append(0)
+                selec[gt_idx] = True
+            else:
+                self._match[lbl].append(0)
+
     def add(self, p_masks, p_labels, p_scores, g_masks, g_labels,
             g_difficult=None):
         p_labels = np.asarray(p_labels)
@@ -76,36 +108,12 @@ class VOCEvaluation:
         ):
             pi = np.flatnonzero(p_labels == lbl)
             gi = np.flatnonzero(g_labels == lbl)
-            diff_l = g_difficult[gi]
-            self._n_pos[lbl] += int(np.logical_not(diff_l).sum())
             order = np.argsort(-p_scores[pi], kind="stable")
             pi = pi[order]
-            self._score[lbl].extend(p_scores[pi].tolist())
-            if len(pi) == 0:
-                continue
-            if len(gi) == 0:
-                self._match[lbl].extend([0] * len(pi))
-                continue
-            # argmax-IoU assignment per prediction (chainercv selec logic):
-            # a TP requires the argmax gt itself to be unselected — a better-
-            # but-taken gt does NOT fall through to the next-best gt.
             iou = np.array(
                 [[mask_iou(p_masks[p], g_masks[g]) for g in gi] for p in pi]
-            )
-            gt_index = iou.argmax(axis=1)
-            gt_index[iou.max(axis=1) < self.iou_thresh] = -1
-            selec = np.zeros(len(gi), bool)
-            for gt_idx in gt_index:
-                if gt_idx >= 0:
-                    if diff_l[gt_idx]:
-                        self._match[lbl].append(-1)
-                    elif not selec[gt_idx]:
-                        self._match[lbl].append(1)
-                    else:
-                        self._match[lbl].append(0)
-                    selec[gt_idx] = True
-                else:
-                    self._match[lbl].append(0)
+            ).reshape(len(pi), len(gi))
+            self._ingest_class(lbl, p_scores[pi], iou, g_difficult[gi])
 
     def add_boxlocal(self, p_bboxes, p_mask_probs, p_labels, p_scores,
                      im_size, g_masks, g_labels, g_difficult=None):
@@ -159,50 +167,31 @@ class VOCEvaluation:
         ):
             pi = np.flatnonzero(p_labels == lbl)
             gi = np.flatnonzero(g_labels == lbl)
-            diff_l = g_difficult[gi]
-            self._n_pos[lbl] += int(np.logical_not(diff_l).sum())
             order = np.argsort(-p_scores[pi], kind="stable")
             pi = pi[order]
-            self._score[lbl].extend(p_scores[pi].tolist())
-            if len(pi) == 0:
-                continue
-            if len(gi) == 0:
-                self._match[lbl].extend([0] * len(pi))
-                continue
             iou = np.zeros((len(pi), len(gi)), np.float64)
-            if inter_all is not None:
+            if len(pi) and len(gi) and inter_all is not None:
                 inter = inter_all[np.ix_(pi, gi)]
                 union = p_areas[pi, None] + g_areas[gi][None, :] - inter
                 iou = np.where(
                     union > 0, inter / np.maximum(union, 1), 0.0
                 )
-            else:
+            elif len(pi) and len(gi):
+                gmc = g_masks[gi]  # hoisted: one copy per class, not per det
+                garea_c = g_areas[gi]
                 for row, p in enumerate(pi):
                     local, y0, x0 = locals_[p]
                     h, w = local.shape
                     if h and w:
-                        crop = g_masks[gi][:, y0:y0 + h, x0:x0 + w]
+                        crop = gmc[:, y0:y0 + h, x0:x0 + w]
                         inter = (crop & local[None]).sum(axis=(1, 2))
                     else:
                         inter = np.zeros(len(gi), np.int64)
-                    union = p_areas[p] + g_areas[gi] - inter
+                    union = p_areas[p] + garea_c - inter
                     iou[row] = np.where(
                         union > 0, inter / np.maximum(union, 1), 0.0
                     )
-            gt_index = iou.argmax(axis=1)
-            gt_index[iou.max(axis=1) < self.iou_thresh] = -1
-            selec = np.zeros(len(gi), bool)
-            for gt_idx in gt_index:
-                if gt_idx >= 0:
-                    if diff_l[gt_idx]:
-                        self._match[lbl].append(-1)
-                    elif not selec[gt_idx]:
-                        self._match[lbl].append(1)
-                    else:
-                        self._match[lbl].append(0)
-                    selec[gt_idx] = True
-                else:
-                    self._match[lbl].append(0)
+            self._ingest_class(lbl, p_scores[pi], iou, g_difficult[gi])
 
     def get_state(self):
         """Compact picklable state (per-class score/match lists) for
@@ -222,6 +211,17 @@ class VOCEvaluation:
             self._score[k].extend(v)
         for k, v in state["match"].items():
             self._match[k].extend(v)
+
+    def set_state(self, state) -> None:
+        """Replace the accumulator with ``state`` (used to rebuild pooled
+        records in a rank-independent order)."""
+        self._n_pos = defaultdict(int, state["n_pos"])
+        self._score = defaultdict(
+            list, {k: list(v) for k, v in state["score"].items()}
+        )
+        self._match = defaultdict(
+            list, {k: list(v) for k, v in state["match"].items()}
+        )
 
     def results(self) -> Dict:
         n_fg = max(self._n_pos.keys(), default=-1) + 1

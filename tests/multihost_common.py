@@ -60,6 +60,44 @@ def make_flow_loader(process_index: int, process_count: int) -> TrainLoader:
     )
 
 
+def run_failing_eval():
+    """Distributed evaluation where ONLY rank 1's shard contains a poisoned
+    example. The evaluator must exchange failure flags collectively so BOTH
+    ranks raise (instead of rank 0 hanging forever in process_allgather).
+    Returns the raised message, or None if no error surfaced."""
+    import jax
+
+    from mask_rcnn_tpu.engine.evaluator import InstanceSegmentationEvaluator
+    from mask_rcnn_tpu.models import init_params
+    from mask_rcnn_tpu.models.api import MaskRCNNResNet
+    from tests.test_engine import make_dataset
+
+    cfg = flow_cfg()
+    ds = make_dataset(n=GLOBAL_BATCH)
+
+    class Poisoned:
+        class_names = ds.class_names
+
+        def __len__(self):
+            return len(ds)
+
+        def __getitem__(self, i):
+            if i == 3:  # strided shard [1::2] -> only rank 1 sees this
+                raise ValueError("poisoned example")
+            return ds[i]
+
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    model = MaskRCNNResNet.from_config(cfg, params)
+    ev = InstanceSegmentationEvaluator(
+        Poisoned(), ds.class_names, kind="voc", batch_size=2
+    )
+    try:
+        ev(model)
+    except RuntimeError as e:
+        return str(e)
+    return None
+
+
 def run_train_flow(out_dir: str) -> dict:
     """The full train() + evaluator + checkpoint flow, parameterized only by
     the ambient jax process layout."""

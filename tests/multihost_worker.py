@@ -67,6 +67,16 @@ def main():
         jax.distributed.shutdown()
         return
 
+    if mode == "faileval":
+        from tests.multihost_common import run_failing_eval
+
+        msg = run_failing_eval()
+        with open(out_json, "w") as f:
+            json.dump({"process": process_id, "error": msg}, f)
+        jax.distributed.shutdown()
+        # success for this mode = the collective failure propagated here
+        sys.exit(0 if msg and "process(es) [1]" in msg else 1)
+
     import numpy as np
 
     from mask_rcnn_tpu.engine import (

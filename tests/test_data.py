@@ -279,3 +279,59 @@ def test_remat_grads_match():
     b = g2["res3"]["a"]["conv1"]["W"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_position_for_step_skips_zero_batch_epochs():
+    """An epoch whose (sharded, aspect-grouped) shuffle forms no whole batch
+    contributes no steps; position_for_step must skip it exactly like the
+    train loop does, or a resume replays later epochs' consumed batches."""
+    from mask_rcnn_tpu.data.loader import TrainLoader
+
+    loader = None
+    for seed in range(200):
+        rng = np.random.RandomState(seed)
+        sizes = [
+            (50, 100) if rng.rand() < 0.5 else (100, 50) for _ in range(13)
+        ]
+        cand = TrainLoader(
+            _TinyDS(n=13, sizes=sizes), _identity_transform, batch_size=4,
+            max_boxes=2, min_size=40, max_size=64, seed=seed,
+            process_index=0, process_count=2,
+        )
+        counts = [cand.batches_in_epoch(e) for e in range(6)]
+        nonzero_after = any(
+            c == 0 and any(counts[e + 1:]) for e, c in enumerate(counts)
+        )
+        if nonzero_after and sum(counts) >= 3:
+            loader = cand
+            break
+    assert loader is not None, "no zero-batch-epoch fixture in 200 seeds"
+    # the uninterrupted stream's (epoch, step-in-epoch) sequence
+    expected = []
+    for e, n in enumerate(counts):
+        expected.extend((e, s) for s in range(n))
+    walked = [loader.position_for_step(s) for s in range(sum(counts))]
+    assert walked == expected
+
+
+def test_steps_per_epoch_survives_empty_first_epoch():
+    """steps_per_epoch reports the first epoch that forms batches (an
+    unlucky epoch-0 shuffle must not zero out the whole schedule)."""
+    from mask_rcnn_tpu.data.loader import TrainLoader
+
+    for seed in range(200):
+        rng = np.random.RandomState(seed)
+        sizes = [
+            (50, 100) if rng.rand() < 0.5 else (100, 50) for _ in range(13)
+        ]
+        loader = TrainLoader(
+            _TinyDS(n=13, sizes=sizes), _identity_transform, batch_size=4,
+            max_boxes=2, min_size=40, max_size=64, seed=seed,
+            process_index=0, process_count=2,
+        )
+        if loader.batches_in_epoch(0) == 0 and any(
+            loader.batches_in_epoch(e) for e in range(1, 6)
+        ):
+            assert loader.steps_per_epoch() > 0
+            return
+    raise AssertionError("no empty-epoch-0 fixture in 200 seeds")

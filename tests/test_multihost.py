@@ -187,3 +187,46 @@ def test_two_process_full_train_flow(tmp_path):
     assert not osp.exists(osp.join(out_dirs[1], "params.yaml"))
     assert not osp.exists(osp.join(out_dirs[1], "log"))
     assert not osp.exists(osp.join(out_dirs[1], "train_state"))
+
+
+@pytest.mark.slow
+def test_two_process_eval_failure_raises_on_all_ranks(tmp_path):
+    """A predict/scoring failure on one rank's evaluation shard must fail
+    BOTH ranks loudly: without the collective failure-flag exchange, the
+    healthy rank would block forever in process_allgather while the failed
+    rank's exception killed its process (a silent cluster hang)."""
+    coordinator = f"127.0.0.1:{_free_port()}"
+    worker = osp.join(osp.dirname(__file__), "multihost_worker.py")
+    out_jsons = [str(tmp_path / f"fail{pid}.json") for pid in (0, 1)]
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), coordinator, out_jsons[pid],
+             "faileval"],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            cwd=osp.dirname(osp.dirname(osp.abspath(__file__))),
+        )
+        for pid in (0, 1)
+    ]
+    outputs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=1800)
+            outputs.append(out.decode(errors="replace"))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, (
+            f"rank did not see the collective failure:\n{out[-4000:]}"
+        )
+    for path in out_jsons:
+        with open(path) as f:
+            res = json.load(f)
+        assert "process(es) [1]" in res["error"]

@@ -91,3 +91,13 @@ def test_pallas_descent_matches_xla():
         ref = kth_largest_key(key, k)
         got = kth_largest_key_pallas(key, k)
         assert int(ref) == int(got)
+
+
+def test_signed_zeros_tie_break():
+    """-0.0 and +0.0 compare equal in lax.top_k (smaller index wins); the
+    uint32 total-order encoding must not rank +0.0 above -0.0."""
+    _check(np.asarray([-0.0, 0.0, -1.0, 0.0, -0.0], np.float32), 3)
+    score = np.zeros(4096, np.float32)
+    score[1::2] = -0.0
+    score[7] = 1.0
+    _check(score, 100)
