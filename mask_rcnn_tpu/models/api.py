@@ -25,10 +25,7 @@ from mask_rcnn_tpu.models.mask_rcnn import (
 )
 from mask_rcnn_tpu.models import rpn as rpn_mod
 from mask_rcnn_tpu.utils.masks import paste_masks
-
-
-def round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from mask_rcnn_tpu.data.loader import round_up
 
 
 @functools.lru_cache(maxsize=None)
@@ -240,7 +237,20 @@ class MaskRCNNResNet:
 
     # -- compiled graph cache -------------------------------------------
     def _get_predict_fn(self):
-        return _compiled_predict(self.config, self.mesh)
+        cfg = self.config
+        if self.score_thresh < cfg.score_thresh:
+            # The compiled decode graph drops candidates at
+            # cfg.score_thresh (0.05, reference parity) before the host
+            # filter ever sees them, so a lower model.score_thresh (the
+            # chainercv idiom for recall sweeps) would silently return the
+            # 0.05 results. Rebuild the graph with the lower in-graph
+            # cutoff instead — one extra compile, cached per threshold.
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg, score_thresh=float(self.score_thresh)
+            )
+        return _compiled_predict(cfg, self.mesh)
 
     # -- inference -------------------------------------------------------
     def predict_submit(self, imgs: Sequence[np.ndarray]):

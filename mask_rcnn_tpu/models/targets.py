@@ -89,7 +89,7 @@ def anchor_targets(
     max_iou = jnp.max(iou, axis=1)
 
     # Anchors achieving the per-gt max IoU (ties included), chainercv style.
-    gt_max = jnp.max(jnp.where(inside[:, None], iou, -1.0), axis=0)  # (G,)
+    gt_max = jnp.max(iou, axis=0)  # (G,) — iou is already masked above
     is_gt_argmax = jnp.any(
         (iou == gt_max[None, :]) & bbox_valid[None, :] & (gt_max[None, :] > 0),
         axis=1,
@@ -140,6 +140,12 @@ def _mask_sample_coords(roi, size, out_size):
     ints (round-half-even like np.round), crop, bilinear resize (cv2 samples
     at ``(i + .5) * crop/out - .5``); binarize at 0.5 (the one-hot+argmax
     construction reduces to interp > 0.5 for a binary mask).
+
+    Exact-0.5 ties (sample exactly midway between two mask rows) binarize
+    by sub-ulp rounding of the f32 coordinate; cv2's double-precision
+    coordinates wobble on the same ties, so bit-parity there is undefined
+    on either side. Measured deviation: 0.1% of cells on tie-prone crops,
+    boundary pixels only (docs/parity.md, test_crop_resize_tie_flip_rate).
     """
     h, w = size
     r = jnp.round(roi).astype(jnp.int32)
@@ -270,7 +276,19 @@ def proposal_targets(
     iou = bbox_iou(cand, bbox)
     iou = jnp.where(bbox_valid[None, :], iou, -1.0)
     gt_assignment = jnp.argmax(iou, axis=1)
-    max_iou = jnp.where(cand_valid, jnp.max(iou, axis=1), -1.0)
+    # With zero valid gt boxes every candidate's max IoU is the -1 padding
+    # sentinel, which would fail the negative window [0, 0.5) and leave the
+    # image contributing nothing. Treat proposals as IoU-0 background
+    # instead so annotation-less images still train the head on negatives.
+    # (The reference never sees this case — its datasets drop images
+    # without annotations and its creator would crash on an empty gt
+    # array — so background-only is the only sensible semantics.)
+    no_gt_iou = jnp.where(jnp.any(bbox_valid), -1.0, 0.0)
+    max_iou = jnp.where(
+        cand_valid,
+        jnp.maximum(jnp.max(iou, axis=1), no_gt_iou),
+        -1.0,
+    )
 
     pos_quota = int(round(n * cfg.pos_ratio))
     kpos, kneg = jax.random.split(key)

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from mask_rcnn_tpu.models import heads, rpn
 from mask_rcnn_tpu.models.mask_rcnn import (
     MaskRCNNConfig,
+    cast_params,
     forward_backbone_rpn,
     pooling_func,
 )
@@ -68,8 +69,6 @@ def train_loss(
     # less H2D traffic, and the target creator consumes the packed form
     # directly (unpacking only the gathered crop rows).
     mask_packed = batch["mask"].shape[-1] * 8 == img_size[1]
-
-    from mask_rcnn_tpu.models.mask_rcnn import cast_params
 
     params = cast_params(params, cfg.compute_dtype)
     feats, rpn_locs, rpn_scores, anchors = forward_backbone_rpn(

@@ -244,3 +244,28 @@ def test_resnet101_params_and_train_grads():
         > 0
     )
     assert float(jnp.abs(grads["extractor"]["conv1"]["W"]).max()) == 0.0
+
+
+def test_low_score_thresh_rebuilds_decode_graph(tiny_model):
+    """model.score_thresh below the compiled cfg.score_thresh (0.05) must
+    rebuild the decode graph with the lower in-graph cutoff — the jitted
+    decode drops sub-0.05 candidates before the host filter sees them, so
+    without a rebuild a recall-sweep threshold like 0.01 silently returns
+    the 0.05 results."""
+    cfg, params = tiny_model
+    model = MaskRCNNResNet.from_config(cfg, params)
+    default_fn = model._get_predict_fn()
+    from mask_rcnn_tpu.models.api import _compiled_predict
+
+    assert default_fn is _compiled_predict(cfg, model.mesh)
+
+    model.score_thresh = 0.01
+    low_fn = model._get_predict_fn()
+    assert low_fn is not default_fn
+    # cached per threshold: a second lookup reuses the same compiled fn
+    assert model._get_predict_fn() is low_fn
+
+    # raising the threshold back above the compiled baseline restores the
+    # shared graph (host-side filtering is sufficient there)
+    model.score_thresh = 0.7
+    assert model._get_predict_fn() is default_fn

@@ -148,3 +148,69 @@ def test_crop_resize_mask_matches_cv2():
         )
         want = (want > 0.5).astype(np.int32)
         np.testing.assert_array_equal(got, want)
+
+
+def test_crop_resize_tie_flip_rate_bounded():
+    """Exact-0.5 bilinear ties binarize by sub-ulp rounding on both sides
+    (cv2's double coordinate arithmetic wobbles on the same ties), so
+    bit-parity at ties is undefined; pin the deviation to boundary-pixel
+    noise: <= 0.6% of cells on a tie-heavy crop mix (docs/parity.md;
+    measured ~0.4% here, ~0.1% on a natural extent mix)."""
+    f = jax.jit(lambda m, r: _crop_resize_mask(m, r, 14))
+    rng = np.random.RandomState(0)
+    H, W = 128, 128
+    total = diff = 0
+    for t in range(120):
+        mask = (rng.rand(H, W) > 0.5).astype(np.uint8)
+        y1, x1 = rng.randint(0, H // 2), rng.randint(0, W // 2)
+        if t % 3 == 0:  # extent 28 = 2*14: every sample offset ends in .5
+            y2, x2 = min(y1 + 28, H - 1), min(x1 + 28, W - 1)
+        elif t % 3 == 1:  # extent 56 = 4*14
+            y2, x2 = min(y1 + 56, H - 1), min(x1 + 56, W - 1)
+        else:
+            y2 = rng.randint(y1 + 2, H)
+            x2 = rng.randint(x1 + 2, W)
+        roi = np.array([y1, x1, y2, x2], np.float32)
+        got = np.asarray(f(mask, roi))
+        r = np.round(roi).astype(np.int32)
+        crop = mask[r[0]:max(r[2], r[0] + 1), r[1]:max(r[3], r[1] + 1)]
+        want = (
+            cv2.resize(
+                crop.astype(np.float32), (14, 14),
+                interpolation=cv2.INTER_LINEAR,
+            ) > 0.5
+        ).astype(np.int32)
+        total += got.size
+        diff += int((got != want).sum())
+    assert diff / total <= 0.006, f"{diff}/{total} cells deviate from cv2"
+
+
+def test_proposal_targets_zero_gt_samples_negatives():
+    """An image with no valid gt must still contribute background rois to
+    the head losses (all-IoU-0 negatives), not silently drop out of the
+    batch (the reference never sees this case: its datasets filter
+    annotation-less images and its creator would crash on empty gt)."""
+    rng = np.random.RandomState(0)
+    junk = rng.rand(48, 4).astype(np.float32) * 50
+    rois = np.concatenate(
+        [junk[:, :2], junk[:, :2] + 5 + junk[:, 2:]], axis=1
+    )
+    roi_valid = np.ones(len(rois), bool)
+    gt = np.zeros((2, 4), np.float32)
+    gt_label = np.zeros(2, np.int32)
+    gt_valid = np.zeros(2, bool)  # every gt slot is padding
+    masks = np.zeros((2, 96, 96), np.uint8)
+
+    cfg = ProposalTargetConfig(n_sample=32)
+    _, _, s_label, s_mask = proposal_targets(
+        jax.random.PRNGKey(3), rois, roi_valid, gt, gt_label, gt_valid,
+        masks, cfg
+    )
+    s_label, s_mask = np.asarray(s_label), np.asarray(s_mask)
+    # reference semantics: negatives fill n_sample - n_pos (= everything
+    # here, since there are no positives to sample)
+    assert (s_label == 0).sum() == cfg.n_sample, (
+        "background negatives must fill every slot"
+    )
+    assert not (s_label > 0).any()
+    assert np.all(s_mask == -1)  # no positives -> every mask slot ignored
