@@ -60,7 +60,12 @@ class SyntheticCOCOScaleDataset:
         areas = masks.sum(axis=(1, 2)).astype(np.float32)
         # stash for the fake model (keyed by image checksum is overkill;
         # the model re-derives from the image index channel below)
+        # index encoded across three channel-0 pixels so every image (not
+        # just the first 251) round-trips exactly through the fake model,
+        # which reads the CHW-transposed image at [0, 0, 0:3]
         img[0, 0, 0] = i % 251
+        img[0, 1, 0] = (i // 251) % 251
+        img[0, 2, 0] = i // (251 * 251)
         return img, bboxes, labels, masks, crowds, areas
 
 
@@ -75,7 +80,8 @@ class FakePredictModel:
         bboxes, masks, labels, scores = [], [], [], []
         for img in imgs:
             h, w = img.shape[1:]
-            i = int(img[0, 0, 0])
+            i = (int(img[0, 0, 0]) + 251 * int(img[0, 0, 1])
+                 + 251 * 251 * int(img[0, 0, 2]))
             boxes, rng = self.dataset._boxes(i)
             ms = np.zeros((self.n_dets, h, w), bool)
             ls = rng.randint(0, 80, self.n_dets).astype(np.int32)
@@ -107,7 +113,8 @@ class FakeRawPredictModel(FakePredictModel):
         out = []
         for img in imgs:
             h, w = img.shape[1:]
-            i = int(img[0, 0, 0])
+            i = (int(img[0, 0, 0]) + 251 * int(img[0, 0, 1])
+                 + 251 * 251 * int(img[0, 0, 2]))
             boxes, rng = self.dataset._boxes(i)
             bb = np.zeros((self.n_dets, 4), np.float32)
             for k in range(self.n_dets):

@@ -31,6 +31,10 @@ def main():
     evaluate_common.evaluate(
         dataset, class_names=class_names, dataset_kind="voc",
         indices_vis=list(range(min(9, len(dataset)))),
+        # match the training-time validation metric (train_common.py sets
+        # use_07_metric for dataset_kind == 'voc'), so best_map in the log
+        # and this eval_result are comparable numbers
+        use_07_metric=True,
     )
 
 

@@ -82,6 +82,7 @@ def main():
     out_dir = args.out or tempfile.mkdtemp(prefix="mask_rcnn_tpu_demo_")
     os.makedirs(out_dir, exist_ok=True)
 
+    saved = 0
     for chunk in _itertools.batch(imgs, n=2):
         chw = [im.transpose(2, 0, 1).astype(np.float32) for _, im in chunk]
         bboxes, masks, labels, scores = model.predict(chw)
@@ -95,7 +96,11 @@ def main():
                 n_class=model.n_class, masks=mk[keep][order],
                 scores=sc[keep][order],
             )
-            out_path = osp.join(out_dir, osp.basename(path))
+            # numbered prefix: inputs sharing a basename (or URLs with
+            # query strings) must not overwrite each other's output
+            base = osp.basename(path).split("?")[0] or "image.jpg"
+            out_path = osp.join(out_dir, f"{saved:03d}_{base}")
+            saved += 1
             cv2.imwrite(out_path, viz[:, :, ::-1])
             print(f"{path}: {int(keep.sum())} detections -> {out_path}")
 

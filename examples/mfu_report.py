@@ -7,7 +7,7 @@ achieved TFLOP/s + MFU against the chip's bf16 peak. Also splits the train
 step into forward-loss vs full fwd+bwd+update time so backward-pass work is
 attributable (VERDICT round-2 directive #4).
 
-Usage: ./examples/mfu_report.py [--batch 2] [--dets 512]
+Usage: ./examples/mfu_report.py [--batch 2] [--iters 20] [--layers 50]
 """
 
 from __future__ import annotations

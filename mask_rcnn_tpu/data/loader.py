@@ -54,6 +54,7 @@ def pad_batch(
     max_size: int,
     pack_masks: bool = True,
     image_fill=None,
+    force_shape=None,
 ) -> Dict[str, np.ndarray]:
     """Transformed examples [(img, bbox, label, mask, scale), ...] ->
     padded batch dict (all images share one bucket = max over the batch).
@@ -61,14 +62,29 @@ def pad_batch(
     ``image_fill``: per-channel fill for the padded image margin. uint8
     images (keep_uint8 transforms, 4x less H2D; the train step casts +
     mean-subtracts on device) should pass the rounded pixel mean so the
-    margin lands at ~0 post-subtraction, like the float path's zeros."""
+    margin lands at ~0 post-subtraction, like the float path's zeros.
+
+    ``force_shape``: explicit (hp, wp) padded extent. Multi-host training
+    must use this: each host pads its own slice of the global batch, and
+    ``jax.make_array_from_process_local_data`` needs every host to produce
+    the SAME local shape — a per-host max would diverge whenever hosts
+    hold different orientation mixes."""
     n = len(examples)
-    shapes = [
-        bucket_shape(e[0].shape[0], e[0].shape[1], min_size, max_size)
-        for e in examples
-    ]
-    hp = max(s[0] for s in shapes)
-    wp = max(s[1] for s in shapes)
+    if force_shape is not None:
+        hp, wp = force_shape
+        for e in examples:
+            if e[0].shape[0] > hp or e[0].shape[1] > wp:
+                raise ValueError(
+                    f"image {e[0].shape[:2]} exceeds forced pad shape "
+                    f"({hp}, {wp})"
+                )
+    else:
+        shapes = [
+            bucket_shape(e[0].shape[0], e[0].shape[1], min_size, max_size)
+            for e in examples
+        ]
+        hp = max(s[0] for s in shapes)
+        wp = max(s[1] for s in shapes)
 
     img_dtype = np.asarray(examples[0][0]).dtype
     images = np.zeros(
@@ -145,37 +161,48 @@ class TrainLoader:
             )  # True = landscape
 
     def epoch_indices(self, epoch: int) -> np.ndarray:
+        """This host's index sequence for ``epoch``; batch ``b`` is the
+        slice ``[b*batch_size:(b+1)*batch_size]``.
+
+        Every host computes the SAME global batch sequence (global shuffle
+        -> whole global batches of ``batch_size * process_count`` ->
+        shuffled batch order) and takes its contiguous slice *within each
+        global batch* — so at every step all hosts work on slices of one
+        global batch. With aspect grouping the global batches are
+        orientation-uniform, which is what keeps every host's padded batch
+        shape identical (multi-host SPMD needs equal local shapes). A
+        per-host shard grouped independently (the scatter_dataset idiom)
+        would let host 0 batch landscape images while host 1 batches
+        portrait at the same step.
+        """
         rng = np.random.RandomState(self.seed + epoch)
         idx = rng.permutation(len(self.dataset))
-        # Per-host contiguous shard of the shuffled order (replaces
-        # chainermn.scatter_dataset(shuffle=True)).
-        per = len(idx) // self.process_count
-        idx = idx[self.process_index * per:(self.process_index + 1) * per]
+        g = self.batch_size * self.process_count
         if self.aspect_flags is not None:
-            # Stable-partition the shard by orientation, form whole batches
-            # within each group, then shuffle batch order. The per-group
-            # remainders (< batch_size each) are dropped this epoch; the
-            # drop is recorded and logged, and varies with each epoch's
-            # shuffle — so per-epoch batch counts are NOT constant and
-            # resume positions must be derived with position_for_step().
+            # Partition the global order by orientation, form whole global
+            # batches within each group, then shuffle batch order. The
+            # per-group remainders (< g each) are dropped this epoch
+            # (recorded and logged). The orientation partition is static,
+            # so the drop — and the per-epoch batch count — is the same
+            # every epoch.
             land = idx[self.aspect_flags[idx]]
             port = idx[~self.aspect_flags[idx]]
-            b = self.batch_size
             batches = [
-                grp[i:i + b]
+                grp[i:i + g]
                 for grp in (land, port)
-                for i in range(0, len(grp) - b + 1, b)
+                for i in range(0, len(grp) - g + 1, g)
             ]
-            order = rng.permutation(len(batches))
-            n_before = len(idx)
-            if batches:
-                idx = np.concatenate([batches[i] for i in order])
-            else:
-                idx = idx[:0]
-            self._last_drop = (epoch, n_before - len(idx))
         else:
-            self._last_drop = (epoch, len(idx) % self.batch_size)
-        return idx
+            batches = [
+                idx[i:i + g] for i in range(0, len(idx) - g + 1, g)
+            ]
+        order = rng.permutation(len(batches))
+        self._last_drop = len(idx) - len(batches) * g
+        lo = self.process_index * self.batch_size
+        hi = lo + self.batch_size
+        if batches:
+            return np.concatenate([batches[i][lo:hi] for i in order])
+        return idx[:0]
 
     def batches_in_epoch(self, epoch: int) -> int:
         return len(self.epoch_indices(epoch)) // self.batch_size
@@ -184,9 +211,9 @@ class TrainLoader:
         """(epoch, step-within-epoch) after ``global_step`` completed steps.
 
         Walks actual per-epoch batch counts instead of dividing by a
-        constant: with aspect grouping each epoch drops a shuffle-dependent
-        remainder per orientation group, so epoch lengths differ and
-        ``step // steps_per_epoch`` would resume at the wrong position.
+        constant — global batch formation makes the counts constant today,
+        but the walk keeps resume correct for any loader subclass whose
+        epochs vary (and for zero-batch epochs, which contribute no steps).
         """
         epoch, remaining = 0, global_step
         zero_run = 0
@@ -213,17 +240,34 @@ class TrainLoader:
                     return epoch, 0
             epoch += 1
 
+    def _batch_force_shape(self, batch_idx):
+        """Deterministic padded extent for a multi-host batch.
+
+        Every host must pad its slice of the global batch to the same
+        (hp, wp) even though it only sees its own images: with aspect
+        grouping the global batch is orientation-uniform, so the canonical
+        orientation bucket is that shape; without size metadata the square
+        worst case is the only host-independent choice."""
+        if self.process_count == 1:
+            return None
+        short = round_up(self.min_size, 64)
+        long_ = round_up(self.max_size, 64)
+        if self.aspect_flags is not None:
+            landscape = bool(self.aspect_flags[int(batch_idx[0])])
+            return (short, long_) if landscape else (long_, short)
+        return (long_, long_)
+
     def _make_batches(
         self, epoch: int, skip: int = 0
     ) -> Iterator[Dict[str, np.ndarray]]:
         idx = self.epoch_indices(epoch)
         nb = len(idx) // self.batch_size
-        drop_epoch, dropped = getattr(self, "_last_drop", (epoch, 0))
+        dropped = getattr(self, "_last_drop", 0)
         if dropped and skip == 0:
             print(
                 f"[TrainLoader] epoch {epoch}: {dropped} image(s) dropped "
-                f"by batch formation (aspect-group/batch remainder), "
-                f"{nb} batches kept"
+                f"globally by batch formation (aspect-group/batch "
+                f"remainder), {nb} batches kept"
             )
         # uint8 transforms: pad the image margin at the (rounded) pixel
         # mean so it lands at ~0 after on-device mean subtraction.
@@ -240,6 +284,7 @@ class TrainLoader:
             yield pad_batch(
                 examples, self.max_boxes, self.min_size, self.max_size,
                 image_fill=fill,
+                force_shape=self._batch_force_shape(batch_idx),
             )
 
     def epoch(
@@ -251,32 +296,51 @@ class TrainLoader:
         early on a bad example."""
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # Stop-aware put: a consumer that abandons the generator early
+            # (stop_at_step, final-epoch break) sets ``stop``; without the
+            # timeout loop the worker would block forever on the full
+            # queue, leaking the thread and `prefetch` decoded batches.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for batch in self._make_batches(epoch, skip):
-                    q.put(batch)
+                    if not put(batch):
+                        return
             except BaseException as e:  # surfaced in the consumer
-                q.put(e)
+                put(e)
             else:
-                q.put(sentinel)
+                put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise RuntimeError(
-                    f"TrainLoader worker failed in epoch {epoch}"
-                ) from item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise RuntimeError(
+                        f"TrainLoader worker failed in epoch {epoch}"
+                    ) from item
+                yield item
+        finally:
+            stop.set()
+            t.join()
 
     def steps_per_epoch(self) -> int:
-        """Nominal batches per epoch (the first epoch that forms any —
-        an unlucky aspect-group shuffle can leave epoch 0 empty while
-        later epochs batch fine)."""
+        """Nominal batches per epoch (the first epoch that forms any;
+        counts are constant under global batch formation, but subclasses
+        with varying epochs stay supported)."""
         for e in range(1000):
             n = len(self.epoch_indices(e)) // self.batch_size
             if n:

@@ -27,6 +27,16 @@ from mask_rcnn_tpu.data._download import (
 )
 
 
+def _imread_rgb(path: str) -> np.ndarray:
+    """cv2 BGR read -> RGB, raising a clear error for missing/corrupt files
+    (cv2.imread returns None instead of raising, which would otherwise
+    surface as an opaque NoneType error from a loader worker thread)."""
+    bgr = cv2.imread(path, cv2.IMREAD_COLOR)
+    if bgr is None:
+        raise IOError(f"failed to read {path}")
+    return bgr[:, :, ::-1].copy()
+
+
 def _read_label_png(path: str) -> np.ndarray:
     """Palette PNG -> int32 label image; 255 -> -1 (VOC ignore)."""
     from PIL import Image
@@ -84,8 +94,7 @@ class VOC2012InstanceSegmentationDataset:
         img_path = osp.join(self.root, "JPEGImages", did + ".jpg")
         cls_path = osp.join(self.root, "SegmentationClass", did + ".png")
         ins_path = osp.join(self.root, "SegmentationObject", did + ".png")
-        bgr = cv2.imread(img_path, cv2.IMREAD_COLOR)
-        img = bgr[:, :, ::-1].copy()
+        img = _imread_rgb(img_path)
         lbl_cls = _read_label_png(cls_path)
         lbl_ins = _read_label_png(ins_path)
         return _example_from_labels(img, lbl_cls, lbl_ins)
@@ -139,8 +148,7 @@ class SBDInstanceSegmentationDataset:
 
         did = self.ids[i]
         img_path = osp.join(self.root, "img", did + ".jpg")
-        bgr = cv2.imread(img_path, cv2.IMREAD_COLOR)
-        img = bgr[:, :, ::-1].copy()
+        img = _imread_rgb(img_path)
         cls_mat = scipy.io.loadmat(
             osp.join(self.root, "cls", did + ".mat")
         )
@@ -171,8 +179,7 @@ class VOCLikeDataset:
         return len(self.img_paths)
 
     def get_example(self, i: int):
-        bgr = cv2.imread(self.img_paths[i], cv2.IMREAD_COLOR)
-        img = bgr[:, :, ::-1].copy()
+        img = _imread_rgb(self.img_paths[i])
         lbl_cls = np.load(self.cls_paths[i]).astype(np.int32)
         lbl_ins = np.load(self.ins_paths[i]).astype(np.int32)
         return _example_from_labels(img, lbl_cls, lbl_ins)
@@ -194,3 +201,12 @@ class IndexingDataset:
         return self.dataset[self.indices[i]]
 
     __getitem__ = get_example
+
+    @property
+    def return_crowd(self):
+        # forwarded so evaluators can tell what the example tuple holds
+        return getattr(self.dataset, "return_crowd", None)
+
+    @property
+    def return_area(self):
+        return getattr(self.dataset, "return_area", None)

@@ -112,6 +112,33 @@ class InstanceSegmentationEvaluator:
         t = threading.Thread(target=scorer, daemon=True)
         t.start()
 
+        def gt_extras(e):
+            """(crowds, areas) of an example tuple. The dataset's
+            return_crowd/return_area flags say which optional fields are
+            present — guessing positionally would read a crowd-less
+            areas-only 5-tuple's areas as crowd flags (every gt becomes an
+            ignored crowd and the mAP is silently garbage)."""
+            rc = getattr(self.dataset, "return_crowd", None)
+            ra = getattr(self.dataset, "return_area", None)
+            if rc is None and ra is None:
+                if len(e) > 5:
+                    return e[4], e[5]
+                if len(e) > 4:
+                    raise ValueError(
+                        "dataset yields a 5-tuple but exposes no "
+                        "return_crowd/return_area attributes — cannot tell "
+                        "whether element 4 is crowd flags or areas"
+                    )
+                return None, None
+            j = 4
+            crowds = areas = None
+            if rc:
+                crowds = e[j]
+                j += 1
+            if ra:
+                areas = e[j]
+            return crowds, areas
+
         def enqueue(examples, results):
             nonlocal n_added
             bboxes, masks, labels, scores = results
@@ -119,10 +146,9 @@ class InstanceSegmentationEvaluator:
             for e, mk, lb, sc in zip(examples, masks, labels, scores):
                 gt_mask = np.asarray(e[3], bool)
                 if self.kind == "coco":
+                    crowds, areas = gt_extras(e)
                     work.append(("add", (
-                        mk, lb, sc, gt_mask, e[2],
-                        e[4] if len(e) > 4 else None,
-                        e[5] if len(e) > 5 else None,
+                        mk, lb, sc, gt_mask, e[2], crowds, areas,
                     )))
                 else:
                     work.append(("add", (mk, lb, sc, gt_mask, e[2])))
@@ -141,10 +167,9 @@ class InstanceSegmentationEvaluator:
             ):
                 gt_mask = np.asarray(e[3], bool)
                 if self.kind == "coco":
+                    crowds, areas = gt_extras(e)
                     work.append(("add_boxlocal", (
-                        bb, pr, lb, sc, size, gt_mask, e[2],
-                        e[4] if len(e) > 4 else None,
-                        e[5] if len(e) > 5 else None,
+                        bb, pr, lb, sc, size, gt_mask, e[2], crowds, areas,
                     )))
                 else:
                     work.append(("add_boxlocal",

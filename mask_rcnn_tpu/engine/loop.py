@@ -71,7 +71,17 @@ def train(
     # Mesh sized from the loader's *per-host* batch: it must shard evenly
     # over this host's slice of the 'data' axis
     # (local_batch = batch_size_per_device * n_local_mesh_devices).
-    n_local = max(train_loader.batch_size // batch_size_per_device, 1)
+    if (
+        train_loader.batch_size % batch_size_per_device != 0
+        or train_loader.batch_size < batch_size_per_device
+    ):
+        raise ValueError(
+            f"loader batch_size ({train_loader.batch_size}) must be a "
+            f"multiple of batch_size_per_device ({batch_size_per_device}) "
+            "— a silent floor here would run a different per-device batch "
+            "than the LR/params.yaml accounting assumes"
+        )
+    n_local = train_loader.batch_size // batch_size_per_device
     if jax.process_count() > 1:
         # Multi-host: one global mesh over every device of every process;
         # each process feeds its local shard (shard_batch assembles the
@@ -148,12 +158,14 @@ def train(
     it = int(jax.device_get(state.step))
     t_start = time.time()
     running: Dict[str, float] = {}
+    running_n = 0  # steps accumulated since the last log flush (a resume
+    # can land mid-interval, so dividing by log_interval would under-report
+    # the first post-resume entry)
     # Bit-faithful resume: restart at the epoch/position the restored step
     # had reached, so interrupted+resumed sees the exact same data sequence
     # as an uninterrupted run (the loader's epoch shuffle is a pure function
     # of (seed, epoch)). Positions are derived from actual per-epoch batch
-    # counts — with aspect grouping those vary per epoch, so dividing by a
-    # constant steps_per_epoch would resume at the wrong batch.
+    # counts (robust to loader subclasses whose epoch lengths vary).
     epoch, skip = train_loader.position_for_step(it)
     eval_every = max(int(eval_interval_epochs * steps_per_epoch), 1)
 
@@ -174,6 +186,7 @@ def train(
             # (a per-step device_get would synchronize every step).
             for k, v in metrics.items():
                 running[k] = running.get(k, 0.0) + v
+            running_n += 1
             if it % log_interval == 0:
                 if process_zero():
                     entry = {
@@ -185,7 +198,7 @@ def train(
                     entry.update(
                         {
                             "main/" + k:
-                            float(jax.device_get(v)) / log_interval
+                            float(jax.device_get(v)) / running_n
                             for k, v in running.items()
                         }
                     )
@@ -201,6 +214,7 @@ def train(
                 # every process drops its accumulator (device refs would
                 # pile up forever on non-zero ranks otherwise)
                 running = {}
+                running_n = 0
 
             if (
                 checkpoint_interval_steps

@@ -96,10 +96,18 @@ def process_zero() -> bool:
 
 
 def local_batch_slice(global_batch: int,
-                      process_index: Optional[int] = None) -> slice:
+                      process_index: Optional[int] = None,
+                      process_count: Optional[int] = None) -> slice:
     """Deterministic per-host shard of a global batch (replaces
-    chainermn.scatter_dataset)."""
+    chainermn.scatter_dataset). The batch must divide evenly: silently
+    flooring would leave the remainder examples unassigned to any host."""
     pi = jax.process_index() if process_index is None else process_index
-    pc = jax.process_count()
+    pc = jax.process_count() if process_count is None else process_count
+    if global_batch % pc != 0:
+        raise ValueError(
+            f"global batch {global_batch} does not divide over {pc} "
+            f"processes — the last {global_batch % pc} example(s) would "
+            "never be assigned to any host"
+        )
     per = global_batch // pc
     return slice(pi * per, (pi + 1) * per)

@@ -274,23 +274,14 @@ class COCOEvaluation:
             if d
             else []
         )
-        # Hot loop (intersections + areas over every label-matching det/gt
-        # pair) runs in C++ when the native lib builds; the numpy fallback
-        # below is the oracle (tests/test_native.py).
-        from mask_rcnn_tpu.utils import native
+        # Intersections + areas (C++ when available, numpy oracle fallback)
+        # via the core shared with the VOC metric — one implementation, so
+        # the two paths cannot diverge.
+        from mask_rcnn_tpu.utils.masks import boxlocal_inter_areas
 
-        inter_all = None
-        if d and g:
-            res = native.boxlocal_inter(
-                locals_, gt_masks, pred_labels, gt_labels
-            )
-            if res is not None:
-                inter_all, det_area, gt_area_mask = res
-        if inter_all is None:
-            det_area = np.asarray(
-                [local.sum() for local, _, _ in locals_], np.int64
-            )
-            gt_area_mask = gt_masks.sum(axis=(1, 2)).astype(np.int64)
+        inter_all, det_area, gt_area_mask = boxlocal_inter_areas(
+            locals_, gt_masks, pred_labels, gt_labels
+        )
         gt_area = (
             np.asarray(gt_areas, np.float64)
             if gt_areas is not None
@@ -307,7 +298,7 @@ class COCOEvaluation:
             d_sel = order[np.asarray(pred_labels)[order] == cat]
             g_sel = np.flatnonzero(np.asarray(gt_labels) == cat)
             ious = np.zeros((len(d_sel), len(g_sel)), np.float64)
-            if len(d_sel) and len(g_sel) and inter_all is not None:
+            if len(d_sel) and len(g_sel):
                 inter = inter_all[np.ix_(d_sel, g_sel)]
                 union = np.where(
                     gt_crowds[g_sel][None, :],
@@ -318,26 +309,6 @@ class COCOEvaluation:
                 ious = np.where(
                     union > 0, inter / np.maximum(union, 1), 0.0
                 )
-            elif len(d_sel) and len(g_sel):
-                gmc = gt_masks[g_sel]
-                crowd_c = gt_crowds[g_sel]
-                garea_c = gt_area_mask[g_sel]
-                for row, di in enumerate(d_sel):
-                    local, y0, x0 = locals_[di]
-                    h, w = local.shape
-                    if h and w:
-                        crop = gmc[:, y0:y0 + h, x0:x0 + w]
-                        inter = (crop & local[None]).sum(axis=(1, 2))
-                    else:
-                        inter = np.zeros(len(g_sel), np.int64)
-                    union = np.where(
-                        crowd_c,
-                        det_area[di],
-                        det_area[di] + garea_c - inter,
-                    )
-                    ious[row] = np.where(
-                        union > 0, inter / np.maximum(union, 1), 0.0
-                    )
             record[cat] = {
                 "ious": ious,
                 "det_scores": np.asarray(pred_scores)[d_sel],

@@ -21,25 +21,59 @@ import numpy as np
 
 _SRC = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
                 "native", "cocoeval.cpp")
-_LIB_PATH = _SRC.replace(".cpp", ".so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+def _host_key() -> str:
+    """Cache key distinguishing incompatible hosts: -march=native codegen
+    from one CPU can SIGILL on another (e.g. a repo shared over NFS across
+    heterogeneous multi-host pods), so the .so name embeds the CPU's
+    feature set."""
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line
+                    break
+    except OSError:
+        pass
+    key = f"{platform.machine()}|{flags}"
+    return hashlib.md5(key.encode()).hexdigest()[:10]
+
+
+def _lib_path() -> str:
+    return _SRC.replace(".cpp", f".{_host_key()}.so")
+
+
 def _build() -> Optional[str]:
-    if osp.exists(_LIB_PATH) and (
-        os.stat(_LIB_PATH).st_mtime >= os.stat(_SRC).st_mtime
+    lib_path = _lib_path()
+    if osp.exists(lib_path) and (
+        os.stat(lib_path).st_mtime >= os.stat(_SRC).st_mtime
     ):
-        return _LIB_PATH
+        return lib_path
+    # Build to a per-process temp name, then atomically rename: concurrent
+    # builders (multi-host ranks on a shared filesystem, parallel test
+    # workers) must never CDLL a half-written .so.
+    tmp = f"{lib_path}.{os.getpid()}.tmp"
     try:
         subprocess.check_call(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-o", _LIB_PATH, _SRC],
+             "-o", tmp, _SRC],
             stderr=subprocess.DEVNULL,
         )
-        return _LIB_PATH
+        os.replace(tmp, lib_path)
+        return lib_path
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
 
 
@@ -50,7 +84,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             _tried = True
             path = _build()
             if path:
-                lib = ctypes.CDLL(path)
+                try:
+                    lib = ctypes.CDLL(path)
+                except OSError:
+                    # corrupt/incompatible library: fall back to the
+                    # pure-python paths instead of killing the sweep
+                    return None
                 c_i64 = ctypes.c_int64
                 lib.coco_match_image.argtypes = [
                     ctypes.POINTER(ctypes.c_double),
@@ -187,6 +226,17 @@ def boxlocal_inter(locals_, gt_masks: np.ndarray,
     offsets = np.zeros(d + 1, np.int64)
     for i, (local, y0, x0) in enumerate(locals_):
         h, w = local.shape
+        if g and (y0 < 0 or x0 < 0 or y0 + h > im_h or x0 + w > im_w):
+            # The C kernel indexes gt at gbase[(y0+y)*im_w + x0+x] with no
+            # bounds checks; a caller whose im_size disagrees with the gt
+            # mask resolution must fail loudly here (the numpy fallback
+            # raises a broadcast error for the same inputs), not read out
+            # of bounds.
+            raise ValueError(
+                f"box-local mask {i} at (y0={y0}, x0={x0}, h={h}, w={w}) "
+                f"exceeds the gt mask extent ({im_h}, {im_w}) — im_size "
+                "passed to add_boxlocal disagrees with gt_masks.shape?"
+            )
         meta[i] = (y0, x0, h, w)
         offsets[i + 1] = offsets[i] + h * w
     buf = np.empty(max(int(offsets[-1]), 1), np.uint8)

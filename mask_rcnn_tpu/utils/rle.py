@@ -115,23 +115,15 @@ def rle_area(rle: Dict) -> int:
 def rle_iou(dets: List[Dict], gts: List[Dict], iscrowd: List[bool]
             ) -> np.ndarray:
     """Pairwise mask IoU (D, G) from RLE dicts; crowd gts use union=det area
-    (pycocotools semantics)."""
-    d = len(dets)
-    g = len(gts)
-    out = np.zeros((d, g), np.float64)
-    if d == 0 or g == 0:
-        return out
-    det_masks = [decode_rle(r).astype(bool) for r in dets]
-    gt_masks = [decode_rle(r).astype(bool) for r in gts]
-    det_areas = [m.sum() for m in det_masks]
-    gt_areas = [m.sum() for m in gt_masks]
-    for j in range(g):
-        gm = gt_masks[j]
-        for i in range(d):
-            inter = np.logical_and(det_masks[i], gm).sum()
-            if iscrowd[j]:
-                union = det_areas[i]
-            else:
-                union = det_areas[i] + gt_areas[j] - inter
-            out[i, j] = inter / union if union > 0 else 0.0
-    return out
+    (pycocotools ``maskUtils.iou`` analog). Decode + the single production
+    IoU implementation — crowd semantics live in one place
+    (``cocoeval.mask_iou_matrix``), not a third copy here."""
+    if len(dets) == 0 or len(gts) == 0:
+        return np.zeros((len(dets), len(gts)), np.float64)
+    from mask_rcnn_tpu.utils.cocoeval import mask_iou_matrix
+
+    det_masks = np.stack([decode_rle(r).astype(bool) for r in dets])
+    gt_masks = np.stack([decode_rle(r).astype(bool) for r in gts])
+    return mask_iou_matrix(
+        det_masks, gt_masks, np.asarray(iscrowd, bool)
+    )

@@ -142,22 +142,14 @@ class VOCEvaluation:
             if len(p_labels)
             else []
         )
-        # Intersections + areas in C++ when available (same kernel as the
-        # COCO path); the numpy loop below is the fallback oracle.
-        from mask_rcnn_tpu.utils import native
+        # Intersections + areas (C++ when available, numpy oracle fallback)
+        # via the core shared with the COCO metric — one implementation, so
+        # the two paths cannot diverge.
+        from mask_rcnn_tpu.utils.masks import boxlocal_inter_areas
 
-        inter_all = None
-        if len(p_labels) and len(g_labels):
-            res = native.boxlocal_inter(
-                locals_, g_masks, p_labels, g_labels
-            )
-            if res is not None:
-                inter_all, p_areas, g_areas = res
-        if inter_all is None:
-            p_areas = np.asarray(
-                [local.sum() for local, _, _ in locals_], np.int64
-            )
-            g_areas = g_masks.sum(axis=(1, 2)).astype(np.int64)
+        inter_all, p_areas, g_areas = boxlocal_inter_areas(
+            locals_, g_masks, p_labels, g_labels
+        )
         if g_difficult is None:
             g_difficult = np.zeros(len(g_labels), bool)
         else:
@@ -170,27 +162,12 @@ class VOCEvaluation:
             order = np.argsort(-p_scores[pi], kind="stable")
             pi = pi[order]
             iou = np.zeros((len(pi), len(gi)), np.float64)
-            if len(pi) and len(gi) and inter_all is not None:
+            if len(pi) and len(gi):
                 inter = inter_all[np.ix_(pi, gi)]
                 union = p_areas[pi, None] + g_areas[gi][None, :] - inter
                 iou = np.where(
                     union > 0, inter / np.maximum(union, 1), 0.0
                 )
-            elif len(pi) and len(gi):
-                gmc = g_masks[gi]  # hoisted: one copy per class, not per det
-                garea_c = g_areas[gi]
-                for row, p in enumerate(pi):
-                    local, y0, x0 = locals_[p]
-                    h, w = local.shape
-                    if h and w:
-                        crop = gmc[:, y0:y0 + h, x0:x0 + w]
-                        inter = (crop & local[None]).sum(axis=(1, 2))
-                    else:
-                        inter = np.zeros(len(gi), np.int64)
-                    union = p_areas[p] + garea_c - inter
-                    iou[row] = np.where(
-                        union > 0, inter / np.maximum(union, 1), 0.0
-                    )
             self._ingest_class(lbl, p_scores[pi], iou, g_difficult[gi])
 
     def get_state(self):

@@ -169,3 +169,24 @@ def test_train_state_npz_roundtrip(tmp_path):
     assert len(got) == len(want)
     for a, b in zip(got, want):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_rejects_non_divisible_per_device_batch(tmp_path):
+    """batch_size must divide by batch_size_per_device: a silent floor
+    would run a different per-device batch than the LR/params.yaml
+    accounting assumes (and leave devices idle)."""
+    from mask_rcnn_tpu.data import MaskRCNNTransform, TrainLoader
+    from mask_rcnn_tpu.engine.loop import train
+    from mask_rcnn_tpu.models import MaskRCNNConfig
+
+    ds = make_dataset(n=6)
+    loader = TrainLoader(
+        ds, MaskRCNNTransform(64, 64, mean=(0, 0, 0)), batch_size=3,
+        max_boxes=4, min_size=64, max_size=64,
+    )
+    with pytest.raises(ValueError, match="multiple of"):
+        train(
+            MaskRCNNConfig(n_fg_class=1, min_size=64, max_size=64),
+            loader, str(tmp_path), max_epoch=1.0,
+            batch_size_per_device=2,
+        )

@@ -407,3 +407,50 @@ def test_uint8_predict_matches_float():
     np.testing.assert_array_equal(l0[0], l1[0])
     np.testing.assert_allclose(s0[0], s1[0], rtol=5e-2, atol=1e-3)
     np.testing.assert_allclose(b0[0], b1[0], rtol=5e-2, atol=1.5)
+
+
+def test_evaluator_resolves_area_only_extras():
+    """A dataset with return_area=True but return_crowd=False yields a
+    5-tuple whose element 4 is AREAS; the evaluator must consult the flags
+    instead of guessing positionally (areas read as crowd flags would turn
+    every gt into an ignored crowd and silently garbage the mAP)."""
+    from mask_rcnn_tpu.engine.evaluator import InstanceSegmentationEvaluator
+
+    class AreaOnlyDS(_FakeEvalDataset):
+        return_crowd = False
+        return_area = True
+
+        def __getitem__(self, i):
+            e = super().__getitem__(i)  # (img, bb, lb, mk, crowds, areas)
+            return e[:4] + (e[5],)
+
+    ds_full = _FakeEvalDataset(n=4, with_extras=True)  # crowds all zero
+    ds_area = AreaOnlyDS(n=4, with_extras=True)
+    model = _FakePredictModel()
+    r_full = InstanceSegmentationEvaluator(
+        ds_full, ["cls0", "cls1"], kind="coco", batch_size=2
+    )(model)
+    r_area = InstanceSegmentationEvaluator(
+        ds_area, ["cls0", "cls1"], kind="coco", batch_size=2
+    )(model)
+    assert r_full.keys() == r_area.keys()
+    for k in r_full:
+        np.testing.assert_allclose(r_area[k], r_full[k], rtol=1e-12)
+
+
+def test_evaluator_rejects_ambiguous_five_tuple():
+    """A 5-tuple dataset exposing no return_crowd/return_area flags is
+    ambiguous (crowds or areas?) and must fail loudly, not guess."""
+    from mask_rcnn_tpu.engine.evaluator import InstanceSegmentationEvaluator
+
+    class Ambiguous(_FakeEvalDataset):
+        def __getitem__(self, i):
+            e = super().__getitem__(i)
+            return e[:5]
+
+    ev = InstanceSegmentationEvaluator(
+        Ambiguous(n=2, with_extras=True), ["cls0", "cls1"], kind="coco",
+        batch_size=2,
+    )
+    with pytest.raises((ValueError, RuntimeError)):
+        ev(_FakePredictModel())

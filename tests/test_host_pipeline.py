@@ -78,4 +78,6 @@ def test_loader_per_host_shards_disjoint():
         )
         shards.append(set(loader.epoch_indices(0).tolist()))
     assert shards[0].isdisjoint(shards[1])
-    assert len(shards[0]) == len(shards[1]) == 11
+    # 23 images -> 5 whole global batches of 4 (global remainder 3 dropped);
+    # each host holds its half of every global batch
+    assert len(shards[0]) == len(shards[1]) == 10

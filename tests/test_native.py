@@ -119,3 +119,25 @@ def test_boxlocal_inter_native_matches_python(seed):
                 (gt[j, y0:y0 + h, x0:x0 + w] & local).sum()
             ) if h and w else 0
             assert inter[i, j] == want
+
+
+def test_boxlocal_inter_rejects_out_of_bounds_placement():
+    """The C kernel indexes the gt buffer without bounds checks; a local
+    mask whose placement exceeds the gt extent (an im_size that disagrees
+    with gt_masks.shape) must raise, not read out of bounds."""
+    from mask_rcnn_tpu.utils import native
+
+    if native.get_lib() is None:
+        pytest.skip("no native toolchain")
+    gt = np.zeros((1, 20, 20), bool)
+    gt[0, 2:10, 2:10] = True
+    ok = native.boxlocal_inter(
+        [(np.ones((5, 5), bool), 15, 15)], gt,
+        np.zeros(1, np.int64), np.zeros(1, np.int64),
+    )
+    assert ok is not None
+    with pytest.raises(ValueError, match="exceeds the gt mask extent"):
+        native.boxlocal_inter(
+            [(np.ones((8, 8), bool), 15, 15)], gt,  # 15+8 > 20
+            np.zeros(1, np.int64), np.zeros(1, np.int64),
+        )

@@ -197,3 +197,15 @@ def test_parallel_predict_matches_single_device():
         )
     # outputs are batch-sharded across the 8 devices
     assert len(got["scores"].sharding.device_set) == 8
+
+
+def test_local_batch_slice_rejects_remainder():
+    """A global batch that does not divide over the process count would
+    silently leave the remainder examples unassigned to any host."""
+    import pytest
+
+    from mask_rcnn_tpu.parallel import local_batch_slice
+
+    assert local_batch_slice(8, 1, 2) == slice(4, 8)
+    with pytest.raises(ValueError, match="never be assigned"):
+        local_batch_slice(7, 0, 2)
