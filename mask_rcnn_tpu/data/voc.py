@@ -157,7 +157,12 @@ class SBDInstanceSegmentationDataset:
         )
         lbl_cls = cls_mat["GTcls"][0][0]["Segmentation"].astype(np.int32)
         lbl_ins = ins_mat["GTinst"][0][0]["Segmentation"].astype(np.int32)
+        # reference sbd.py:47-53: 255 -> -1 ignore in both label images,
+        # and instances are voided wherever the class image says
+        # background/ignore
+        lbl_cls[lbl_cls == 255] = -1
         lbl_ins[lbl_ins == 255] = -1
+        lbl_ins[np.isin(lbl_cls, (-1, 0))] = -1
         return _example_from_labels(img, lbl_cls, lbl_ins)
 
     __getitem__ = get_example

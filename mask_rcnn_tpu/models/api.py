@@ -28,9 +28,15 @@ from mask_rcnn_tpu.utils.masks import paste_masks
 from mask_rcnn_tpu.data.loader import round_up
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=8)
 def _compiled_predict(cfg: MaskRCNNConfig, mesh=None):
-    """Module-level compiled-predict cache.
+    """Module-level compiled-predict cache (bounded LRU).
+
+    Each entry is a jitted function holding per-shape executables; the
+    bound keeps a long-lived server sweeping many distinct configs
+    (e.g. per-request ``score_thresh`` clones, which rebuild the config)
+    from accumulating executables forever — eviction just means a
+    recompile if an old config comes back.
 
     Keyed on the (hashable, frozen) config + optional mesh so every
     ``MaskRCNNResNet`` instance with the same config — in particular the
@@ -83,12 +89,19 @@ def find_imagenet_npz(n_layers: int) -> str:
 def resolve_pretrained_params(spec: str, like, config: "MaskRCNNConfig"):
     """Reference ``pretrained_model`` surface: 'auto' (ImageNet backbone,
     mask_rcnn_resnet.py:69-72), 'auto:<npz>' / 'imagenet:<npz>' (explicit
-    ImageNet npz), '<model>.pkl' (Detectron blobs), or a snapshot npz saved
-    by this framework."""
+    ImageNet npz), '<model>.pkl' (Detectron blobs), 'chainer:<npz>' (a
+    reference ``snapshot_model.npz``; also auto-detected by layout
+    sniffing, so a migrating user's trained snapshot loads through
+    ``--pretrained-model``/demo/evaluate unchanged — the reference loads
+    its own snapshots in the constructor, mask_rcnn_resnet.py:115-116),
+    or a snapshot npz saved by this framework."""
     from mask_rcnn_tpu.utils.detectron_import import (
+        import_chainer_npz,
         import_detectron_pkl,
         import_imagenet_npz,
+        is_chainer_snapshot,
     )
+    from mask_rcnn_tpu.utils.checkpoint import conform_params, load_params
 
     if spec == "auto" or spec.startswith(("auto:", "imagenet:")):
         path = (
@@ -101,8 +114,15 @@ def resolve_pretrained_params(spec: str, like, config: "MaskRCNNConfig"):
         return import_detectron_pkl(
             spec, n_fg_class=config.n_fg_class, n_layers=config.n_layers
         )
-    from mask_rcnn_tpu.utils.checkpoint import load_params
-
+    if spec.startswith("chainer:"):
+        return conform_params(
+            import_chainer_npz(spec.split(":", 1)[1], config.n_layers),
+            like,
+        )
+    if is_chainer_snapshot(spec):
+        return conform_params(
+            import_chainer_npz(spec, config.n_layers), like
+        )
     return load_params(spec, like)
 
 
@@ -119,7 +139,7 @@ class MaskRCNNResNet:
     # from_config before older pickles) degrade safely
     score_thresh = 0.05
     mesh = None
-    pad_to_bucket = False
+    pad_to_bucket = True
     uint8_input = False
 
     def __init__(
@@ -138,7 +158,7 @@ class MaskRCNNResNet:
         rng_seed: int = 0,
         compute_dtype: str = "float32",
         mesh=None,
-        pad_to_bucket: bool = False,
+        pad_to_bucket: bool = True,
         uint8_input: bool = False,
     ):
         if n_fg_class is None:
@@ -176,7 +196,7 @@ class MaskRCNNResNet:
     @classmethod
     def from_config(
         cls, config: MaskRCNNConfig, params, mesh=None,
-        pad_to_bucket: bool = False, uint8_input: bool = False,
+        pad_to_bucket: bool = True, uint8_input: bool = False,
     ) -> "MaskRCNNResNet":
         """Wrap existing (cfg, params) — used by the trainer's evaluation
         hooks to run inference on in-training parameters. Compiled graphs

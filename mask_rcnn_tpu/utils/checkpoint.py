@@ -87,6 +87,30 @@ def restore_train_state(directory: str, like):
     )
 
 
+def conform_params(tree, like):
+    """Validate that ``tree`` has exactly ``like``'s paths/shapes and cast
+    leaves to ``like``'s dtypes. Shared by every param-loading path."""
+    flat = flatten_params(tree)
+    want = flatten_params(like)
+    missing = set(want) - set(flat)
+    extra = set(flat) - set(want)
+    if missing or extra:
+        raise ValueError(
+            f"param tree mismatch: missing={sorted(missing)[:5]} "
+            f"extra={sorted(extra)[:5]}"
+        )
+    for k, v in want.items():
+        if flat[k].shape != v.shape:
+            raise ValueError(
+                f"shape mismatch at {k}: {flat[k].shape} vs {v.shape}"
+            )
+    return jax.tree.map(
+        lambda loaded, ref: np.asarray(loaded, ref.dtype),
+        tree,
+        jax.tree.map(np.asarray, like),
+    )
+
+
 def load_params(path: str, like=None):
     """Load params from npz. If ``like`` is given, validate that the loaded
     tree has exactly the same paths/shapes and cast to its dtypes."""
@@ -94,22 +118,5 @@ def load_params(path: str, like=None):
         flat = {k: data[k] for k in data.files}
     tree = unflatten_params(flat)
     if like is not None:
-        want = flatten_params(like)
-        missing = set(want) - set(flat)
-        extra = set(flat) - set(want)
-        if missing or extra:
-            raise ValueError(
-                f"param tree mismatch: missing={sorted(missing)[:5]} "
-                f"extra={sorted(extra)[:5]}"
-            )
-        for k, v in want.items():
-            if flat[k].shape != v.shape:
-                raise ValueError(
-                    f"shape mismatch at {k}: {flat[k].shape} vs {v.shape}"
-                )
-        tree = jax.tree.map(
-            lambda loaded, ref: np.asarray(loaded, ref.dtype),
-            tree,
-            jax.tree.map(np.asarray, like),
-        )
+        tree = conform_params(tree, like)
     return tree

