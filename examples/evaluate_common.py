@@ -24,6 +24,12 @@ def evaluate(test_data, class_names, dataset_kind, indices_vis=None,
         "box above score 0.05 (nms_topk_per_class=0) and compute runs in "
         "float32 (docs/parity.md)",
     )
+    parser.add_argument(
+        "--pool-detections", action="store_true",
+        help="multi-process eval: gather every rank's compact match "
+        "records and score them globally (exact global mAP) instead of "
+        "averaging per-rank reports",
+    )
     args = parser.parse_args()
 
     import yaml
@@ -61,6 +67,7 @@ def evaluate(test_data, class_names, dataset_kind, indices_vis=None,
         test_data, class_names, kind=dataset_kind,
         batch_size=args.batch_size, use_07_metric=use_07_metric,
         max_examples=args.max_examples,
+        pool_detections=args.pool_detections,
     )
     report = evaluator(model)
     out = osp.join(args.log_dir, "snapshot_model.npz.eval_result.yaml")

@@ -64,6 +64,13 @@ def parse_args(dataset_defaults: dict):
         help="initialize jax.distributed for multi-host training",
     )
     parser.add_argument(
+        "--pool-detections", action="store_true",
+        help="multi-process eval: gather every rank's compact match "
+        "records and score them globally (exact global mAP, identical on "
+        "every rank) instead of averaging per-rank reports (the reference "
+        "chainermn contract, examples/train_common.py:271-272)",
+    )
+    parser.add_argument(
         "--resume", default=None,
         help="train_state checkpoint dir to resume from",
     )
@@ -144,6 +151,7 @@ def train(args, train_data, test_data, class_names, dataset_kind,
         # (train_common.py:253-257)
         use_07_metric=(dataset_kind == "voc"),
         max_examples=args.max_eval_examples,
+        pool_detections=args.pool_detections,
     )
     out_dir = timestamp_dir(args.logs_dir)
     vis = VisReport(test_data, class_names, out_dir)

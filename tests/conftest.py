@@ -17,6 +17,15 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+# Persistent XLA compilation cache: repeated suite runs (and the 2-process
+# multihost workers, which inherit these env vars) skip recompiling
+# identical executables. Worth minutes per run on this single-core CPU.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/tmp/mask_rcnn_tpu_jax_cache"
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

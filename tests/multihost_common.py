@@ -98,6 +98,52 @@ def run_failing_eval():
     return None
 
 
+class StubDetector:
+    """Deterministic non-jit detector for the pooled-eval test: recovers
+    the GT rectangle from the bright region of each synthetic image and
+    emits it as a perfect detection (image-dependent score) plus a rolled
+    false positive 0.2 lower. TP and FP score ranges overlap ACROSS
+    images, so the precision-recall curve — and hence the AP — depends on
+    the global score ordering, which is exactly what detection pooling
+    must preserve."""
+
+    def predict(self, imgs):
+        bboxes, masks, labels, scores = [], [], [], []
+        for chw in imgs:
+            img = np.asarray(chw).transpose(1, 2, 0)
+            m = img.max(axis=2) > 150
+            ys, xs = np.nonzero(m)
+            tp = [ys.min(), xs.min(), ys.max() + 1, xs.max() + 1]
+            false_m = np.roll(m, (17, 23), axis=(0, 1))
+            fys, fxs = np.nonzero(false_m)
+            fp = [fys.min(), fxs.min(), fys.max() + 1, fxs.max() + 1]
+            total = int(img.sum())
+            s = 0.5 + float(total % 997) / 4000.0
+            s_fp = 0.5 + float((total * 7919) % 997) / 4000.0
+            bboxes.append(np.asarray([tp, fp], np.float32))
+            masks.append(np.stack([m, false_m]))
+            labels.append(np.zeros(2, np.int32))
+            scores.append(np.asarray([s, s_fp], np.float32))
+        return bboxes, masks, labels, scores
+
+
+def run_pooled_eval() -> dict:
+    """Distributed evaluation with ``pool_detections=True``: every rank
+    gathers all shards' compact match records and scores the union, so the
+    report must equal a single-process evaluation of the full dataset
+    EXACTLY (same records, rebuilt in rank order). Parameterized only by
+    the ambient jax process layout — the parent test runs it with pc=1 for
+    the global baseline."""
+    from mask_rcnn_tpu.engine.evaluator import InstanceSegmentationEvaluator
+    from tests.test_engine import make_dataset
+
+    ds = make_dataset(n=GLOBAL_BATCH)
+    ev = InstanceSegmentationEvaluator(
+        ds, ds.class_names, kind="voc", batch_size=2, pool_detections=True
+    )
+    return ev(StubDetector())
+
+
 def run_train_flow(out_dir: str) -> dict:
     """The full train() + evaluator + checkpoint flow, parameterized only by
     the ambient jax process layout."""

@@ -67,6 +67,15 @@ def main():
         jax.distributed.shutdown()
         return
 
+    if mode == "pooledeval":
+        from tests.multihost_common import run_pooled_eval
+
+        report = run_pooled_eval()
+        with open(out_json, "w") as f:
+            json.dump({k: float(v) for k, v in report.items()}, f)
+        jax.distributed.shutdown()
+        return
+
     if mode == "faileval":
         from tests.multihost_common import run_failing_eval
 

@@ -190,6 +190,59 @@ def test_two_process_full_train_flow(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_pooled_eval_equals_global(tmp_path):
+    """pool_detections=True: both ranks gather every shard's compact match
+    records and score the union — each rank's report must EXACTLY equal a
+    single-process evaluation of the whole dataset (the exact-mAP upgrade
+    over the reference chainermn report averaging, which is only
+    approximate for non-divisible shards)."""
+    from tests.multihost_common import run_pooled_eval
+
+    # single-process global baseline (pc=1 in this pytest process)
+    want = {k: float(v) for k, v in run_pooled_eval().items()}
+    # nontrivial by construction (interleaved TP/FP scores): equality with
+    # the pooled runs below can't pass via a degenerate all-zero report
+    assert 0.0 < want["validation/main/map"] < 1.0
+
+    coordinator = f"127.0.0.1:{_free_port()}"
+    worker = osp.join(osp.dirname(__file__), "multihost_worker.py")
+    out_jsons = [str(tmp_path / f"pooled{pid}.json") for pid in (0, 1)]
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), coordinator, out_jsons[pid],
+             "pooledeval"],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            cwd=osp.dirname(osp.dirname(osp.abspath(__file__))),
+        )
+        for pid in (0, 1)
+    ]
+    outputs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=1500)
+            outputs.append(out.decode(errors="replace"))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, f"pooled worker failed:\n{out[-4000:]}"
+
+    for path in out_jsons:
+        with open(path) as f:
+            got = json.load(f)
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_equal(got[k], want[k], err_msg=k)
+
+
+@pytest.mark.slow
 def test_two_process_eval_failure_raises_on_all_ranks(tmp_path):
     """A predict/scoring failure on one rank's evaluation shard must fail
     BOTH ranks loudly: without the collective failure-flag exchange, the
