@@ -60,6 +60,16 @@ def parse_args(dataset_defaults: dict):
         default="float32",
     )
     parser.add_argument(
+        "--min-size", type=int, default=None,
+        help="override the dataset's resize min side (default: the "
+        "dataset-specific reference value, e.g. 800 for COCO)",
+    )
+    parser.add_argument(
+        "--max-size", type=int, default=None,
+        help="override the dataset's resize max side (default: the "
+        "dataset-specific reference value, e.g. 1333 for COCO)",
+    )
+    parser.add_argument(
         "--multi-node", action="store_true",
         help="initialize jax.distributed for multi-host training",
     )
@@ -116,6 +126,10 @@ def train(args, train_data, test_data, class_names, dataset_kind,
     random.seed(args.seed)
     np.random.seed(args.seed)
 
+    if args.min_size is not None:
+        min_size = args.min_size
+    if args.max_size is not None:
+        max_size = args.max_size
     cfg = MaskRCNNConfig(
         n_fg_class=len(class_names),
         n_layers=50 if args.model == "resnet50" else 101,

@@ -9,6 +9,22 @@ static-shape on-device ops (padded NMS, on-device target creation).
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("MASK_RCNN_TPU_COMPILE_CACHE"):
+    # Opt-in persistent XLA compile cache for every entry point (CLIs,
+    # tests, subprocesses). Restarted jobs then skip recompiling identical
+    # executables — the jax config route is required because this jax
+    # version ignores the JAX_COMPILATION_CACHE_DIR env var.
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ["MASK_RCNN_TPU_COMPILE_CACHE"],
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 from mask_rcnn_tpu import ops  # noqa: F401
 from mask_rcnn_tpu import models  # noqa: F401
 from mask_rcnn_tpu import utils  # noqa: F401

@@ -1,0 +1,170 @@
+"""Synthetic on-disk COCO_ROOT generator.
+
+Builds a tiny but REAL COCO directory tree — image files on disk plus
+``annotations/instances_*.json`` with polygon, compressed-RLE,
+uncompressed-RLE, and crowd annotations — so the unmodified COCO drivers
+(``examples/coco/train.py`` -> ``evaluate.py`` -> ``demo.py`` ->
+``summarize_logs.py``) can run end-to-end without network egress. This is
+the dress-rehearsal slot the real-data parity runbook (docs/parity.md)
+drops into: same layout and flow as the reference's downloaded COCO
+(reference chainer_mask_rcnn/datasets/coco.py:24-100), scaled down.
+
+Shapes are axis-aligned color-coded primitives on a dark noisy background
+(one category per shape kind, non-contiguous COCO category ids to exercise
+the id->class mapping), so a from-scratch model can overfit to a
+nontrivial mAP within a few hundred steps.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+
+import numpy as np
+
+from mask_rcnn_tpu.utils import rle as rle_util
+
+# Non-contiguous category ids, like real COCO (ids 1..90 with holes).
+CATEGORIES = [
+    {"id": 1, "name": "box"},
+    {"id": 3, "name": "disk"},
+    {"id": 7, "name": "stripe"},
+]
+_COLORS = {1: (230, 60, 50), 3: (60, 220, 70), 7: (70, 90, 235)}
+
+
+def _place_shape(rng, img, occupied, cat_id):
+    """Draw one shape; returns (mask, ann_patch) or None if placement
+    failed. ``ann_patch`` is the segmentation encoding to embed in JSON —
+    polygons for boxes, compressed RLE for disks, uncompressed RLE for
+    stripes, covering all three decode paths of
+    COCOInstanceSegmentationDataset.segmentation_to_mask."""
+    h, w = img.shape[:2]
+    s = max(min(h, w) // 96, 1)  # shape sizes track the canvas size
+    for _ in range(20):
+        if cat_id == 1:  # rectangle, polygon segmentation
+            bh, bw = s * rng.randint(18, 30), s * rng.randint(18, 34)
+        elif cat_id == 3:  # disk, compressed RLE
+            bh = bw = 2 * s * rng.randint(9, 14) + 1
+        else:  # wide stripe, uncompressed RLE
+            bh, bw = s * rng.randint(10, 14), s * rng.randint(34, 48)
+        y1 = rng.randint(2, h - bh - 2)
+        x1 = rng.randint(2, w - bw - 2)
+        if occupied[y1:y1 + bh, x1:x1 + bw].any():
+            continue
+        mask = np.zeros((h, w), bool)
+        if cat_id == 1:
+            # PIL polygon(outline=1, fill=1) over integer corners fills the
+            # boundary inclusively: corners (x1, y1)..(x2, y2) -> pixels
+            # [y1:y2+1, x1:x2+1] (data/coco.py::polygons_to_mask).
+            y2, x2 = y1 + bh - 1, x1 + bw - 1
+            mask[y1:y2 + 1, x1:x2 + 1] = True
+            segm = [[float(x1), float(y1), float(x2), float(y1),
+                     float(x2), float(y2), float(x1), float(y2)]]
+        elif cat_id == 3:
+            yy, xx = np.mgrid[:h, :w]
+            r = bh // 2
+            cy, cx = y1 + r, x1 + r
+            mask = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+            enc = rle_util.encode_mask(mask)
+            segm = {"size": enc["size"],
+                    "counts": enc["counts"].decode("ascii")}
+        else:
+            mask[y1:y1 + bh, x1:x1 + bw] = True
+            counts = rle_util.mask_to_rle_counts(mask)
+            segm = {"size": [h, w], "counts": [int(c) for c in counts]}
+        img[mask] = _COLORS[cat_id]
+        occupied[y1 - 2:y1 + bh + 2, x1 - 2:x1 + bw + 2] = True
+        return mask, segm
+    return None
+
+
+def _make_split(rng, img_dir, prefix, n_images, height, width,
+                first_img_id, first_ann_id, with_crowd=False):
+    import cv2
+
+    images, annotations = [], []
+    img_id, ann_id = first_img_id, first_ann_id
+    for i in range(n_images):
+        img = rng.randint(0, 60, (height, width, 3)).astype(np.uint8)
+        occupied = np.zeros((height, width), bool)
+        file_name = f"COCO_{prefix}_{img_id:012d}.png"
+        n_shapes = rng.randint(2, 4)
+        cat_ids = [CATEGORIES[rng.randint(len(CATEGORIES))]["id"]
+                   for _ in range(n_shapes)]
+        for cat_id in cat_ids:
+            placed = _place_shape(rng, img, occupied, cat_id)
+            if placed is None:
+                continue
+            mask, segm = placed
+            annotations.append({
+                "id": ann_id,
+                "image_id": img_id,
+                "category_id": cat_id,
+                "segmentation": segm,
+                "iscrowd": 0,
+                "area": float(mask.sum()),
+            })
+            ann_id += 1
+        if with_crowd and i == 0:
+            # one crowd region (RLE, like real COCO crowds): a dim block
+            # the model should neither be required to find nor be punished
+            # for matching (use_crowd=True + iscrowd=1 ignore semantics)
+            cm = np.zeros((height, width), bool)
+            cm[height - 12:height - 2, 2:26] = ~occupied[
+                height - 12:height - 2, 2:26]
+            img[cm] = (120, 120, 120)
+            enc = rle_util.encode_mask(cm)
+            annotations.append({
+                "id": ann_id,
+                "image_id": img_id,
+                "category_id": 1,
+                "segmentation": {"size": enc["size"],
+                                 "counts": enc["counts"].decode("ascii")},
+                "iscrowd": 1,
+                "area": float(cm.sum()),
+            })
+            ann_id += 1
+        cv2.imwrite(osp.join(img_dir, file_name), img[:, :, ::-1])
+        images.append({"id": img_id, "file_name": file_name,
+                       "height": height, "width": width})
+        img_id += 1
+    return images, annotations, img_id, ann_id
+
+
+def make_synthetic_coco_root(
+    dst: str,
+    n_train: int = 8,
+    n_valminusminival: int = 2,
+    n_minival: int = 4,
+    height: int = 96,
+    width: int = 128,
+    seed: int = 0,
+) -> str:
+    """Write a complete synthetic COCO_ROOT under ``dst`` and return it."""
+    rng = np.random.RandomState(seed)
+    train_dir = osp.join(dst, "train2014")
+    val_dir = osp.join(dst, "val2014")
+    ann_dir = osp.join(dst, "annotations")
+    for d in (train_dir, val_dir, ann_dir):
+        os.makedirs(d, exist_ok=True)
+
+    img_id, ann_id = 1, 1
+    splits = {}
+    for split, img_dir, prefix, n, crowd in (
+        ("train2014", train_dir, "train2014", n_train, False),
+        ("valminusminival2014", val_dir, "val2014", n_valminusminival,
+         False),
+        ("minival2014", val_dir, "val2014", n_minival, True),
+    ):
+        images, anns, img_id, ann_id = _make_split(
+            rng, img_dir, prefix, n, height, width, img_id, ann_id,
+            with_crowd=crowd,
+        )
+        splits[split] = {"images": images, "annotations": anns,
+                         "categories": CATEGORIES}
+    for split, payload in splits.items():
+        with open(osp.join(ann_dir, f"instances_{split}.json"), "w") as f:
+            json.dump(payload, f)
+    return dst

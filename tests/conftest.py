@@ -18,14 +18,18 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 # Persistent XLA compilation cache: repeated suite runs (and the 2-process
-# multihost workers, which inherit these env vars) skip recompiling
-# identical executables. Worth minutes per run on this single-core CPU.
+# multihost workers, which set the same config) skip recompiling identical
+# executables. Worth minutes per run on this single-core CPU. This jax
+# version ignores the JAX_COMPILATION_CACHE_DIR env var, so it must go
+# through jax.config.update after import; the env var below additionally
+# reaches CLI subprocesses (mask_rcnn_tpu/__init__.py honors it).
 os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", "/tmp/mask_rcnn_tpu_jax_cache"
+    "MASK_RCNN_TPU_COMPILE_CACHE", "/tmp/mask_rcnn_tpu_jax_cache"
 )
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/mask_rcnn_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

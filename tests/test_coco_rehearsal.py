@@ -1,0 +1,112 @@
+"""Synthetic-COCO seam tests: the on-disk COCO_ROOT generator feeding the
+REAL training stack and the full unmodified driver journey.
+
+Closes the last untested seam between the dataset layer and the drivers
+(reference flow: examples/coco/train.py:16-46 -> evaluate_common.py):
+before these, data/coco.py's polygon/RLE/crowd decode was unit-tested only
+and never drove a train step or the CLI surface.
+"""
+
+import glob
+import json
+import os
+import os.path as osp
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+
+def test_synthetic_root_feeds_real_train_step(tmp_path):
+    """COCO_ROOT on disk -> COCOInstanceSegmentationDataset -> TrainLoader
+    -> one jitted train step with finite losses: the json decode output
+    (polygon + both RLE forms) is consumable by the production batch path,
+    not just shape-correct."""
+    from mask_rcnn_tpu.data import (
+        COCOInstanceSegmentationDataset,
+        MaskRCNNTransform,
+        TrainLoader,
+    )
+    from mask_rcnn_tpu.data.synthetic import make_synthetic_coco_root
+    from mask_rcnn_tpu.engine import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from mask_rcnn_tpu.models import MaskRCNNConfig, ProposalConfig
+    from mask_rcnn_tpu.models import init_params
+    from mask_rcnn_tpu.models.targets import (
+        AnchorTargetConfig,
+        ProposalTargetConfig,
+    )
+
+    root = make_synthetic_coco_root(str(tmp_path / "COCO"))
+    ds = COCOInstanceSegmentationDataset("train", root=root)
+    assert len(ds) == 8 and len(ds.class_names) == 3
+
+    cfg = MaskRCNNConfig(
+        n_fg_class=len(ds.class_names),
+        min_size=64,
+        max_size=96,
+        anchor_scales=(1.0, 2.0),
+        proposal=ProposalConfig(
+            n_train_pre_nms=64, n_train_post_nms=16,
+            n_test_pre_nms=64, n_test_post_nms=16,
+        ),
+        detections_per_im=4,
+    )
+    loader = TrainLoader(
+        ds,
+        MaskRCNNTransform(64, 96, cfg.mean, train=True,
+                          rng=np.random.RandomState(0)),
+        batch_size=2,
+        max_boxes=4,
+        min_size=64,
+        max_size=96,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    optimizer, _ = make_optimizer(params, base_lr=0.01, total_steps=4)
+    state = create_train_state(params, optimizer)
+    step = make_train_step(
+        cfg, optimizer,
+        proposal_cfg=ProposalTargetConfig(n_sample=8),
+        anchor_cfg=AnchorTargetConfig(n_sample=16),
+    )
+    batch = next(iter(loader.epoch(0)))
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    loss = float(np.asarray(jax.device_get(metrics["loss"])))
+    assert np.isfinite(loss) and loss > 0
+
+
+@pytest.mark.slow
+def test_driver_journey_on_synthetic_root(tmp_path):
+    """The whole unmodified user journey — coco/train.py -> evaluate.py ->
+    demo.py -> summarize_logs.py — against a generated COCO_ROOT, exactly
+    as examples/check_coco_rehearsal.py runs it on the chip (tiny shapes
+    and step count here; the artifact contract is the assertion)."""
+    res = subprocess.run(
+        [sys.executable,
+         osp.join(REPO, "examples", "check_coco_rehearsal.py"),
+         # 2 epochs = 20 steps: exactly one 20-iteration log flush, so the
+         # script's finite-loss assertion has an entry to check
+         "--min-size", "64", "--max-size", "96", "--max-epoch", "2",
+         "--min-map", "-1", "--workdir", str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=REPO, timeout=1500,
+        env={k: v for k, v in os.environ.items()
+             if k not in ("XLA_FLAGS",)},
+    )
+    assert res.returncode == 0, res.stdout[-6000:]
+    # the script itself asserts the artifact contract; double-check the
+    # summary line and key artifacts landed where the reference puts them
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["check"] == "coco_rehearsal"
+    log_dir = summary["log_dir"]
+    for name in ("params.yaml", "log", "snapshot_model.npz",
+                 "snapshot_model.npz.eval_result.yaml"):
+        assert osp.exists(osp.join(log_dir, name))
+    assert glob.glob(osp.join(log_dir, "visualizations", "*.jpg"))
