@@ -26,10 +26,17 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 os.environ.setdefault(
     "MASK_RCNN_TPU_COMPILE_CACHE", "/tmp/mask_rcnn_tpu_jax_cache"
 )
+_cache_dir = os.environ["MASK_RCNN_TPU_COMPILE_CACHE"]
+# Under pytest-xdist, give each worker its own cache dir (stable across
+# runs via the gwN id): four processes hammering one directory produced a
+# rare hard abort in a worker; per-worker dirs keep run-to-run reuse
+# without cross-process races.
+if os.environ.get("PYTEST_XDIST_WORKER"):
+    _cache_dir = f"{_cache_dir}_{os.environ['PYTEST_XDIST_WORKER']}"
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/mask_rcnn_tpu_jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
