@@ -14,6 +14,7 @@ pjit train step.
 
 from __future__ import annotations
 
+import functools
 import os.path as osp
 import time
 from dataclasses import asdict
@@ -45,6 +46,24 @@ from mask_rcnn_tpu.utils.logging import (
     dump_params,
     plot_metrics,
 )
+
+
+@functools.lru_cache(maxsize=4)
+def _train_setup(cfg: MaskRCNNConfig, base_lr: float, total_steps: int,
+                 clip_norm, mesh):
+    """Optimizer + jitted parallel train step, memoized on everything that
+    shapes the compiled graph. Repeated ``train()`` calls in one process
+    (checkpoint-then-resume flows, notebook reruns, sweeps over data but
+    not config) reuse the traced/compiled step instead of paying the full
+    trace+compile again. The throwaway init_params here is only the
+    parameter *structure* for the optimizer's trainable mask; real
+    parameters are supplied per call through TrainState."""
+    template = init_params(jax.random.PRNGKey(0), cfg)
+    optimizer, schedule = make_optimizer(template, base_lr, total_steps,
+                                         clip_norm=clip_norm)
+    step_fn = make_train_step(cfg, optimizer)
+    p_step = make_parallel_train_step(step_fn, mesh)
+    return optimizer, schedule, p_step
 
 
 def train(
@@ -125,16 +144,15 @@ def train(
         from mask_rcnn_tpu.models.api import resolve_pretrained_params
 
         params = resolve_pretrained_params(pretrained_model, params, cfg)
-    optimizer, schedule = make_optimizer(params, base_lr, total_steps,
-                                         clip_norm=clip_norm)
+    optimizer, schedule, p_step = _train_setup(
+        cfg, base_lr, total_steps, clip_norm, mesh
+    )
     state = create_train_state(params, optimizer)
     if resume_from:
         from mask_rcnn_tpu.utils.checkpoint import restore_train_state
 
         state = restore_train_state(resume_from, state)
         print(f"resumed from {resume_from} at step {int(state.step)}")
-    step_fn = make_train_step(cfg, optimizer)
-    p_step = make_parallel_train_step(step_fn, mesh)
 
     rep = replicated(mesh)
     state = jax.device_put(state, rep)

@@ -30,11 +30,6 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# Share the suite's persistent compile cache (tests/conftest.py): the two
-# workers compile the same executables as each other and as prior runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/mask_rcnn_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 def run_flow_mode(out_dir):

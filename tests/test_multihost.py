@@ -115,7 +115,13 @@ def test_two_process_full_train_flow(tmp_path):
 
     The dataset has exactly global_batch images, so the 2-process run
     consumes the same global batches as a single-process 4-device run and
-    the process-0 loss log must match it."""
+    the process-0 loss log must match it.
+
+    This is the suite's designated full-size slow test (~18 min measured
+    on the 1-core CPU host: three full train() compile+trace passes, one in this
+    process and one per worker, which in-process caching cannot share).
+    Every other test — including the other multihost cases (2:39, 0:34,
+    0:22 measured) — fits a 5-minute budget."""
     from tests.multihost_common import run_train_flow
 
     # single-process 4-device baseline (this pytest process)
