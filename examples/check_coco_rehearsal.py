@@ -35,6 +35,8 @@ import subprocess
 import sys
 import tempfile
 
+import numpy as np
+
 HERE = osp.dirname(osp.abspath(__file__))
 REPO = osp.dirname(HERE)
 sys.path.insert(0, REPO)
@@ -96,7 +98,9 @@ def main():
         "--max-epoch", str(args.max_epoch),
         "--seed", str(args.seed),
         "--eval-interval-epochs",
-        str(args.eval_interval_epochs or max(args.max_epoch / 8, 1.0)),
+        str(args.eval_interval_epochs
+            if args.eval_interval_epochs is not None
+            else max(args.max_epoch / 8, 1.0)),
     ]
     if args.min_size:
         train_cmd += ["--min-size", str(args.min_size)]
@@ -106,10 +110,12 @@ def main():
         train_cmd += ["--compute-dtype", args.compute_dtype]
     run(train_cmd, env=env)
 
+    # A reused --workdir (e.g. the documented f32-then-bf16 comparison)
+    # accumulates one logs/<ts> dir per run; validate the newest.
     run_dirs = [d for d in sorted(glob.glob(osp.join(logs_dir, "*")))
                 if osp.isdir(d)]
-    assert len(run_dirs) == 1, run_dirs
-    log_dir = run_dirs[0]
+    assert run_dirs, f"train wrote no run dir under {logs_dir}"
+    log_dir = run_dirs[-1]
 
     # -- artifact contract after train ------------------------------------
     for name in ("params.yaml", "log", "snapshot_model.npz"):
@@ -119,7 +125,7 @@ def main():
     with open(osp.join(log_dir, "log")) as f:
         entries = json.load(f)
     losses = [e["main/loss"] for e in entries if "main/loss" in e]
-    assert losses and all(map(lambda v: v == v, losses)), "no finite losses"
+    assert losses and np.isfinite(losses).all(), "no finite losses"
     import yaml
 
     with open(osp.join(log_dir, "params.yaml")) as f:

@@ -42,9 +42,8 @@ def evaluate(test_data, class_names, dataset_kind, indices_vis=None,
     )
 
     model, _ = build_model_from_log_dir(args.log_dir)
-    # Dataset sweep: pad to the static orientation buckets so the whole
-    # evaluation compiles at most two inference graphs.
-    model.pad_to_bucket = True
+    # pad_to_bucket defaults True, so the dataset sweep compiles at most
+    # two inference graphs (one per orientation bucket).
     if args.strict_parity:
         import dataclasses
 

@@ -293,9 +293,7 @@ def _evaluate(cfg, state, evaluator, vis_report, iteration, mesh=None):
     eval_mesh = mesh if (mesh is not None
                          and jax.process_count() == 1) else None
     params = jax.device_get(state.params)
-    model = MaskRCNNResNet.from_config(
-        cfg, params, mesh=eval_mesh, pad_to_bucket=True
-    )
+    model = MaskRCNNResNet.from_config(cfg, params, mesh=eval_mesh)
     report = evaluator(model)
     if vis_report is not None and process_zero():
         model.score_thresh = vis_report.score_thresh

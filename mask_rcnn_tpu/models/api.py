@@ -129,10 +129,16 @@ def resolve_pretrained_params(spec: str, like, config: "MaskRCNNConfig"):
 class MaskRCNNResNet:
     """Mask R-CNN R-50/101-C4 with the reference's constructor surface.
 
-    Reference parity: same defaults, same ``predict`` contract — input is a
-    list of (3, H, W) float32 RGB images (0-255), output is per-image
-    ``(bboxes (R,4) y1x1y2x2, masks (R,H,W) bool, labels (R,) 0-based,
-    scores (R,))``.
+    Reference parity: same ``predict`` contract — input is a list of
+    (3, H, W) float32 RGB images (0-255), output is per-image ``(bboxes
+    (R,4) y1x1y2x2, masks (R,H,W) bool, labels (R,) 0-based, scores
+    (R,))`` — and the same defaults, with one deliberate deviation:
+    ``pad_to_bucket`` defaults True, so mixed-size sweeps compile at most
+    two inference graphs (one per orientation bucket) instead of one per
+    rounded image size. The extra margin is mean-level padding; detections
+    match the tight path within float tolerance
+    (tests/test_eval_infra.py::test_pad_to_bucket_predictions_match).
+    Pass ``pad_to_bucket=False`` for tight 32-aligned padding.
     """
 
     # class-level defaults so partially-constructed instances (tests,

@@ -249,9 +249,13 @@ def is_chainer_snapshot(path: str) -> bool:
     The reference stores AffineChannel params as ``extractor/bn1/W``/``b``
     (links/affine_channel_2d.py); this framework stores them as
     ``extractor/bn1/scale``/``bias``. The key is unambiguous — a native
-    checkpoint never contains ``extractor/bn1/W``."""
-    with np.load(path) as data:
-        return "extractor/bn1/W" in data.files
+    checkpoint never contains ``extractor/bn1/W``. Reads only the zip
+    directory, so sniffing every ``--pretrained-model`` path (native
+    snapshots included) costs no array decompression."""
+    import zipfile
+
+    with zipfile.ZipFile(path) as zf:
+        return "extractor/bn1/W.npy" in zf.namelist()
 
 
 def export_chainer_npz(params, path: str, n_layers: int = 50) -> None:

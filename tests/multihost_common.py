@@ -101,11 +101,12 @@ def run_failing_eval():
 class StubDetector:
     """Deterministic non-jit detector for the pooled-eval test: recovers
     the GT rectangle from the bright region of each synthetic image and
-    emits it as a perfect detection (image-dependent score) plus a rolled
-    false positive 0.2 lower. TP and FP score ranges overlap ACROSS
-    images, so the precision-recall curve — and hence the AP — depends on
-    the global score ordering, which is exactly what detection pooling
-    must preserve."""
+    emits it as a perfect detection plus a rolled false positive, each
+    with an independent image-dependent hash score in [0.5, 0.75) — an
+    image's FP can outscore its own TP, and TP/FP scores interleave
+    ACROSS images, so the precision-recall curve — and hence the AP —
+    depends on the global score ordering, which is exactly what detection
+    pooling must preserve."""
 
     def predict(self, imgs):
         bboxes, masks, labels, scores = [], [], [], []
