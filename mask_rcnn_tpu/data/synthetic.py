@@ -42,13 +42,20 @@ def _place_shape(rng, img, occupied, cat_id):
     COCOInstanceSegmentationDataset.segmentation_to_mask."""
     h, w = img.shape[:2]
     s = max(min(h, w) // 96, 1)  # shape sizes track the canvas size
+    # Largest extent that still leaves the 2px border randint() needs
+    # (y1 in [2, h-bh-2) requires bh <= h-5); clamping keeps small
+    # --image-hw canvases working instead of crashing in randint.
+    max_h, max_w = h - 5, w - 5
     for _ in range(20):
         if cat_id == 1:  # rectangle, polygon segmentation
             bh, bw = s * rng.randint(18, 30), s * rng.randint(18, 34)
         elif cat_id == 3:  # disk, compressed RLE
-            bh = bw = 2 * s * rng.randint(9, 14) + 1
+            r = s * rng.randint(9, 14)
+            r = min(r, (min(max_h, max_w) - 1) // 2)
+            bh = bw = 2 * r + 1
         else:  # wide stripe, uncompressed RLE
             bh, bw = s * rng.randint(10, 14), s * rng.randint(34, 48)
+        bh, bw = min(bh, max_h), min(bw, max_w)
         y1 = rng.randint(2, h - bh - 2)
         x1 = rng.randint(2, w - bw - 2)
         if occupied[y1:y1 + bh, x1:x1 + bw].any():
@@ -143,6 +150,11 @@ def make_synthetic_coco_root(
     seed: int = 0,
 ) -> str:
     """Write a complete synthetic COCO_ROOT under ``dst`` and return it."""
+    if min(height, width) < 16:
+        raise ValueError(
+            f"canvas {height}x{width} too small: shapes need a >=3px "
+            "extent inside a 2px border (min dimension 16)"
+        )
     rng = np.random.RandomState(seed)
     train_dir = osp.join(dst, "train2014")
     val_dir = osp.join(dst, "val2014")

@@ -55,10 +55,13 @@ def _train_setup(cfg: MaskRCNNConfig, base_lr: float, total_steps: int,
     shapes the compiled graph. Repeated ``train()`` calls in one process
     (checkpoint-then-resume flows, notebook reruns, sweeps over data but
     not config) reuse the traced/compiled step instead of paying the full
-    trace+compile again. The throwaway init_params here is only the
-    parameter *structure* for the optimizer's trainable mask; real
-    parameters are supplied per call through TrainState."""
-    template = init_params(jax.random.PRNGKey(0), cfg)
+    trace+compile again. The optimizer only needs the parameter
+    *structure* for its trainable mask (real parameters arrive per call
+    through TrainState), so build it abstractly — no throwaway full-size
+    init on device."""
+    template = jax.eval_shape(
+        lambda: init_params(jax.random.PRNGKey(0), cfg)
+    )
     optimizer, schedule = make_optimizer(template, base_lr, total_steps,
                                          clip_norm=clip_norm)
     step_fn = make_train_step(cfg, optimizer)
@@ -272,6 +275,23 @@ def train(
                         ["validation/main/map"], "accuracy.png",
                     )
         epoch += 1
+
+    # Flush a final mid-interval accumulator so short runs (fewer than
+    # log_interval steps) still record their losses in the log.
+    if running_n and process_zero():
+        entry = {
+            "epoch": epoch,
+            "iteration": it,
+            "elapsed_time": time.time() - t_start,
+            "lr": float(schedule(it)),
+        }
+        entry.update(
+            {
+                "main/" + k: float(jax.device_get(v)) / running_n
+                for k, v in running.items()
+            }
+        )
+        log.append(entry)
 
     # Final snapshot if never evaluated — or if evaluation never produced a
     # positive mAP (the best-snapshot trigger fires only on improvement, so

@@ -24,6 +24,7 @@ freshly-initialized values.
 from __future__ import annotations
 
 import pickle
+import re
 from typing import Dict
 
 import numpy as np
@@ -289,7 +290,15 @@ def export_chainer_npz(params, path: str, n_layers: int = 50) -> None:
             put_affine(f"{prefix}/bn4", bp["bn4"])
 
     def put_stage(prefix, sp, n_blocks):
-        for name in _block_names(n_blocks):
+        names = _block_names(n_blocks)
+        if set(sp) != set(names):
+            raise ValueError(
+                f"{prefix}: param tree has blocks {sorted(sp)} but "
+                f"n_layers={n_layers} expects {names} — pass the n_layers "
+                "the tree was built with, or the snapshot would be "
+                "silently truncated"
+            )
+        for name in names:
             put_block(f"{prefix}/{name}", sp[name], name == "a")
 
     blocks = RESNET_N_BLOCKS[n_layers]
@@ -322,19 +331,35 @@ def import_chainer_npz(path: str, n_layers: int = 50) -> Dict:
 
     chainer layouts: conv W (O, I, kH, kW); Linear W (out, in); Deconv W
     (I, O, kH, kW); AffineChannel W/b -> scale/bias.
+
+    Raises ValueError when the snapshot's depth does not match
+    ``n_layers`` — both directions: a missing key (snapshot shallower
+    than requested) and leftover stage blocks (snapshot deeper than
+    requested, which would otherwise load a truncated backbone that
+    passes structural checks and predicts garbage).
     """
     with np.load(path) as data:
         flat = {k: data[k] for k in data.files}
+    consumed = set()
+
+    def take(k):
+        if k not in flat:
+            raise ValueError(
+                f"snapshot {path} has no array {k!r} — it is not a "
+                f"resnet{n_layers} snapshot (pass the matching n_layers)"
+            )
+        consumed.add(k)
+        return flat[k]
 
     def conv(k):
         return np.ascontiguousarray(
-            np.transpose(flat[k], (2, 3, 1, 0))
+            np.transpose(take(k), (2, 3, 1, 0))
         ).astype(np.float32)
 
     def affine(prefix):
         return {
-            "scale": flat[f"{prefix}/W"].astype(np.float32),
-            "bias": flat[f"{prefix}/b"].astype(np.float32),
+            "scale": take(f"{prefix}/W").astype(np.float32),
+            "bias": take(f"{prefix}/b").astype(np.float32),
         }
 
     def bottleneck(prefix, has_proj):
@@ -358,9 +383,9 @@ def import_chainer_npz(path: str, n_layers: int = 50) -> Dict:
     # (see import_detectron_pkl); our conv1 carries no bias parameter.
     bn1 = affine("extractor/bn1")
     if "extractor/conv1/b" in flat:
-        bn1["bias"] = bn1["bias"] + bn1["scale"] * flat[
+        bn1["bias"] = bn1["bias"] + bn1["scale"] * take(
             "extractor/conv1/b"
-        ].astype(np.float32)
+        ).astype(np.float32)
     extractor = {
         "conv1": {"W": conv("extractor/conv1/W")},
         "bn1": bn1,
@@ -371,40 +396,54 @@ def import_chainer_npz(path: str, n_layers: int = 50) -> Dict:
     rpn = {
         "conv1": {
             "W": conv("rpn/conv1/W"),
-            "b": flat["rpn/conv1/b"].astype(np.float32),
+            "b": take("rpn/conv1/b").astype(np.float32),
         },
         "score": {
             "W": conv("rpn/score/W"),
-            "b": flat["rpn/score/b"].astype(np.float32),
+            "b": take("rpn/score/b").astype(np.float32),
         },
         "loc": {
             "W": conv("rpn/loc/W"),
-            "b": flat["rpn/loc/b"].astype(np.float32),
+            "b": take("rpn/loc/b").astype(np.float32),
         },
     }
     head = {
         "res5": stage("head/res5", blocks[3]),
         "cls_loc": {
-            "W": np.ascontiguousarray(flat["head/cls_loc/W"].T).astype(
+            "W": np.ascontiguousarray(take("head/cls_loc/W").T).astype(
                 np.float32
             ),
-            "b": flat["head/cls_loc/b"].astype(np.float32),
+            "b": take("head/cls_loc/b").astype(np.float32),
         },
         "score": {
-            "W": np.ascontiguousarray(flat["head/score/W"].T).astype(
+            "W": np.ascontiguousarray(take("head/score/W").T).astype(
                 np.float32
             ),
-            "b": flat["head/score/b"].astype(np.float32),
+            "b": take("head/score/b").astype(np.float32),
         },
         "deconv6": {
             "W": np.ascontiguousarray(
-                np.transpose(flat["head/deconv6/W"], (2, 3, 0, 1))
+                np.transpose(take("head/deconv6/W"), (2, 3, 0, 1))
             ).astype(np.float32),
-            "b": flat["head/deconv6/b"].astype(np.float32),
+            "b": take("head/deconv6/b").astype(np.float32),
         },
         "mask": {
             "W": conv("head/mask/W"),
-            "b": flat["head/mask/b"].astype(np.float32),
+            "b": take("head/mask/b").astype(np.float32),
         },
     }
+    # Leftover stage blocks mean the snapshot is deeper than n_layers
+    # (e.g. a resnet101 snapshot loaded as resnet50): the truncated tree
+    # would pass structural checks and silently predict garbage. Other
+    # leftovers (persistents a future chainer might serialize) are benign.
+    leftover = {
+        k for k in set(flat) - consumed
+        if re.search(r"/(conv|bn)\d/", k)
+    }
+    if leftover:
+        raise ValueError(
+            f"snapshot {path} has {len(leftover)} stage arrays beyond "
+            f"resnet{n_layers} (e.g. {sorted(leftover)[:3]}) — pass the "
+            "matching n_layers instead of silently truncating the model"
+        )
     return {"extractor": extractor, "rpn": rpn, "head": head}

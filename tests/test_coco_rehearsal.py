@@ -82,6 +82,28 @@ def test_synthetic_root_feeds_real_train_step(tmp_path):
     assert np.isfinite(loss) and loss > 0
 
 
+def test_synthetic_root_small_canvas(tmp_path):
+    """Small --image-hw canvases clamp shape extents instead of crashing
+    in randint (a stripe's natural width exceeds a 48px canvas), and
+    degenerate sizes fail with a clear error."""
+    from mask_rcnn_tpu.data import COCOInstanceSegmentationDataset
+    from mask_rcnn_tpu.data.synthetic import make_synthetic_coco_root
+
+    root = make_synthetic_coco_root(
+        str(tmp_path / "COCO"), height=48, width=48
+    )
+    ds = COCOInstanceSegmentationDataset("train", root=root)
+    n_instances = 0
+    for i in range(len(ds)):
+        img, bboxes, labels, masks = ds[i]
+        assert img.shape[:2] == (48, 48)
+        n_instances += len(labels)
+    assert n_instances > 0
+
+    with pytest.raises(ValueError, match="too small"):
+        make_synthetic_coco_root(str(tmp_path / "C2"), height=8, width=128)
+
+
 @pytest.mark.slow
 def test_driver_journey_on_synthetic_root(tmp_path):
     """The whole unmodified user journey — coco/train.py -> evaluate.py ->

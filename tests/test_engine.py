@@ -71,9 +71,12 @@ def test_train_loop_end_to_end(tmp_path):
         ds, ds.class_names, kind="voc", max_examples=1
     )
     out = str(tmp_path)
+    # log_interval > total steps: the 'main/loss' assertion below then
+    # relies on the end-of-training accumulator flush, which is what keeps
+    # short runs (rehearsal smoke configs) from logging no losses at all.
     result = train(
         cfg, loader, out, max_epoch=1.0, evaluator=evaluator,
-        log_interval=1, eval_interval_epochs=1.0,
+        log_interval=5, eval_interval_epochs=1.0,
     )
     assert result["iterations"] == 2
     # artifact contract

@@ -303,6 +303,35 @@ def test_chainer_import_roundtrip(tmp_path):
     )
 
 
+def test_chainer_depth_mismatch_raises(tmp_path):
+    """A snapshot/param-tree depth that disagrees with n_layers must fail
+    loudly in both directions — a truncated R-101 would pass structural
+    checks downstream and silently predict garbage."""
+    from mask_rcnn_tpu.utils.detectron_import import (
+        export_chainer_npz,
+        import_chainer_npz,
+    )
+
+    cfg101 = MaskRCNNConfig(n_fg_class=2, n_layers=101)
+    p101 = init_params(jax.random.PRNGKey(0), cfg101)
+    with pytest.raises(ValueError, match="n_layers"):
+        export_chainer_npz(p101, str(tmp_path / "bad.npz"), n_layers=50)
+
+    path101 = str(tmp_path / "r101.npz")
+    export_chainer_npz(p101, path101, n_layers=101)
+    # deeper snapshot than requested: leftover res4 blocks
+    with pytest.raises(ValueError, match="n_layers"):
+        import_chainer_npz(path101, n_layers=50)
+
+    cfg50 = MaskRCNNConfig(n_fg_class=2)
+    p50 = init_params(jax.random.PRNGKey(1), cfg50)
+    path50 = str(tmp_path / "r50.npz")
+    export_chainer_npz(p50, path50)
+    # shallower snapshot than requested: missing block key
+    with pytest.raises(ValueError, match="n_layers"):
+        import_chainer_npz(path50, n_layers=101)
+
+
 def test_chainer_snapshot_through_pretrained_model(tmp_path):
     """A reference-layout snapshot loads through the user surface
     (``pretrained_model=<path>``, layout-sniffed, and ``chainer:<path>``)
