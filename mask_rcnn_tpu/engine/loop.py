@@ -15,6 +15,7 @@ pjit train step.
 from __future__ import annotations
 
 import functools
+import os
 import os.path as osp
 import time
 from dataclasses import asdict
@@ -162,6 +163,9 @@ def train(
 
     log = LogReport(out_dir)
     if process_zero():
+        # Library callers pass arbitrary out_dirs; create it like the
+        # reference's trainer does its out (train_common.py log_dir).
+        os.makedirs(out_dir, exist_ok=True)
         dump_params(
             out_dir,
             {
