@@ -29,9 +29,29 @@ def build_model_from_log_dir(log_dir: str):
     from mask_rcnn_tpu.utils.logging import load_params_yaml
 
     params_yaml = load_params_yaml(log_dir)
-    mc = params_yaml.get("model_config", {})
+    mc = dict(params_yaml.get("model_config", {}))
+    if not mc:
+        # A reference log dir: its params.yaml is the flat serialized
+        # argparse namespace (reference examples/train_common.py:286-288,
+        # examples/demo.py:39-76). Map the flat keys so a migrating user's
+        # reference-trained log dir works here unchanged — in particular
+        # `model: resnet101` must pick the matching depth or the snapshot
+        # import rejects the tree.
+        if "model" in params_yaml:
+            mc["n_layers"] = 101 if "101" in str(params_yaml["model"]) else 50
+        if params_yaml.get("class_names"):
+            mc["n_fg_class"] = len(params_yaml["class_names"])
+        for key in ("min_size", "max_size", "anchor_scales", "roi_size",
+                    "mean"):
+            if params_yaml.get(key) is not None:
+                mc[key] = params_yaml[key]
+        if params_yaml.get("pooling_func"):
+            mc["pooling"] = params_yaml["pooling_func"]
     dataset = params_yaml.get("dataset", "coco")
     defaults = DATASET_DEFAULTS.get(dataset, DATASET_DEFAULTS["coco"])
+    kwargs = {}
+    if mc.get("mean") is not None:
+        kwargs["mean"] = tuple(mc["mean"])
     model = MaskRCNNResNet(
         n_layers=mc.get("n_layers", 50),
         n_fg_class=mc.get("n_fg_class", defaults["n_fg_class"]),
@@ -43,6 +63,7 @@ def build_model_from_log_dir(log_dir: str):
         roi_size=mc.get("roi_size", 14),
         pooling_func=mc.get("pooling", "align"),
         pretrained_model=osp.join(log_dir, "snapshot_model.npz"),
+        **kwargs,
     )
     return model, params_yaml
 

@@ -11,7 +11,13 @@ __version__ = "0.1.0"
 
 import os as _os
 
-if _os.environ.get("MASK_RCNN_TPU_COMPILE_CACHE"):
+if _os.environ.get("MASK_RCNN_TPU_COMPILE_CACHE") and "cpu" not in _os.environ.get(
+    "JAX_PLATFORMS", ""
+):
+    # CPU runs are excluded: XLA:CPU AOT cache entries record
+    # compile-machine features that can fail the load-time check on a
+    # different (or even the same) host and abort the process — the cache
+    # exists for TPU job restarts, where executables are portable.
     # Opt-in persistent XLA compile cache for every entry point (CLIs,
     # tests, subprocesses). Restarted jobs then skip recompiling identical
     # executables — the jax config route is required because this jax

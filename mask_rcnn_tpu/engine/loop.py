@@ -192,6 +192,7 @@ def train(
     # of (seed, epoch)). Positions are derived from actual per-epoch batch
     # counts (robust to loader subclasses whose epoch lengths vary).
     epoch, skip = train_loader.position_for_step(it)
+    last_step_epoch = epoch
     eval_every = max(int(eval_interval_epochs * steps_per_epoch), 1)
 
     base_rng = jax.device_put(jax.random.PRNGKey(seed), rep)
@@ -206,6 +207,7 @@ def train(
             sbatch = shard_batch(batch, mesh)
             state, metrics = p_step(state, sbatch, base_rng)
             it += 1
+            last_step_epoch = epoch
 
             # Accumulate lazily on device; only materialize at log time
             # (a per-step device_get would synchronize every step).
@@ -281,10 +283,12 @@ def train(
         epoch += 1
 
     # Flush a final mid-interval accumulator so short runs (fewer than
-    # log_interval steps) still record their losses in the log.
+    # log_interval steps) still record their losses in the log. Stamped
+    # with the epoch the accumulated steps actually ran in (``epoch``
+    # itself has already been incremented past the last executed epoch).
     if running_n and process_zero():
         entry = {
-            "epoch": epoch,
+            "epoch": last_step_epoch,
             "iteration": it,
             "elapsed_time": time.time() - t_start,
             "lr": float(schedule(it)),

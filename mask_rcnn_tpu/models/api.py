@@ -114,14 +114,11 @@ def resolve_pretrained_params(spec: str, like, config: "MaskRCNNConfig"):
         return import_detectron_pkl(
             spec, n_fg_class=config.n_fg_class, n_layers=config.n_layers
         )
-    if spec.startswith("chainer:"):
+    explicit_chainer = spec.startswith("chainer:")
+    path = spec.split(":", 1)[1] if explicit_chainer else spec
+    if explicit_chainer or is_chainer_snapshot(path):
         return conform_params(
-            import_chainer_npz(spec.split(":", 1)[1], config.n_layers),
-            like,
-        )
-    if is_chainer_snapshot(spec):
-        return conform_params(
-            import_chainer_npz(spec, config.n_layers), like
+            import_chainer_npz(path, config.n_layers), like
         )
     return load_params(spec, like)
 

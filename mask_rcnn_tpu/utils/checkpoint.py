@@ -114,8 +114,17 @@ def conform_params(tree, like):
 def load_params(path: str, like=None):
     """Load params from npz. If ``like`` is given, validate that the loaded
     tree has exactly the same paths/shapes and cast to its dtypes."""
-    with np.load(path) as data:
-        flat = {k: data[k] for k in data.files}
+    try:
+        with np.load(path) as data:
+            flat = {k: data[k] for k in data.files}
+    except Exception as e:
+        raise ValueError(
+            f"could not read '{path}' as a parameter npz: {e}. Accepted "
+            "pretrained_model forms: a snapshot npz saved by this "
+            "framework, a reference chainer snapshot_model.npz (or "
+            "'chainer:<path>'), a Detectron '<model>.pkl', or "
+            "'auto'/'imagenet:<npz>' for ImageNet backbone weights."
+        ) from e
     tree = unflatten_params(flat)
     if like is not None:
         tree = conform_params(tree, like)

@@ -252,11 +252,17 @@ def is_chainer_snapshot(path: str) -> bool:
     ``extractor/bn1/scale``/``bias``. The key is unambiguous — a native
     checkpoint never contains ``extractor/bn1/W``. Reads only the zip
     directory, so sniffing every ``--pretrained-model`` path (native
-    snapshots included) costs no array decompression."""
+    snapshots included) costs no array decompression. Anything that is not
+    a readable zip (a directory, a .npy, a gzip'd file) is simply not a
+    chainer snapshot — the caller's own loader then produces the
+    format diagnostic."""
     import zipfile
 
-    with zipfile.ZipFile(path) as zf:
-        return "extractor/bn1/W.npy" in zf.namelist()
+    try:
+        with zipfile.ZipFile(path) as zf:
+            return "extractor/bn1/W.npy" in zf.namelist()
+    except (OSError, zipfile.BadZipFile):
+        return False
 
 
 def export_chainer_npz(params, path: str, n_layers: int = 50) -> None:

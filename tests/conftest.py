@@ -17,13 +17,16 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
-# NOTE on the persistent XLA compile cache: deliberately NOT enabled for
-# the CPU test suite. XLA:CPU AOT cache entries record compile-machine
-# features (incl. pseudo-features like +prefer-no-scatter) that fail the
-# load-time check on this host ("could lead to execution errors such as
-# SIGILL"), and a run with the cache enabled produced exactly one hard
-# worker abort under pytest-xdist. The opt-in hook for TPU restarts
-# (MASK_RCNN_TPU_COMPILE_CACHE, mask_rcnn_tpu/__init__.py) remains.
+# The persistent XLA compile cache is deliberately disabled for the CPU
+# test suite (and, via inherited env, its subprocess workers). XLA:CPU AOT
+# cache entries record compile-machine features (incl. pseudo-features like
+# +prefer-no-scatter) that fail the load-time check on this host ("could
+# lead to execution errors such as SIGILL"), and a run with the cache
+# enabled produced exactly one hard worker abort under pytest-xdist. The
+# package itself also ignores the var when JAX_PLATFORMS forces cpu
+# (mask_rcnn_tpu/__init__.py); popping it here covers tools that import
+# jax before mask_rcnn_tpu.
+os.environ.pop("MASK_RCNN_TPU_COMPILE_CACHE", None)
 
 import jax  # noqa: E402
 

@@ -86,6 +86,10 @@ def test_train_loop_end_to_end(tmp_path):
         entries = json.load(f)
     assert any("main/loss" in e for e in entries)
     assert any("validation/main/map" in e for e in entries)
+    # the flushed entry is stamped with the epoch its steps ran in (0),
+    # not the post-loop epoch counter (1)
+    flushed = [e for e in entries if "main/loss" in e]
+    assert all(e["epoch"] == 0 for e in flushed)
 
 
 def test_visualizations_render():
