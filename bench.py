@@ -13,7 +13,14 @@ PCIe host, or the double-buffered ``predict_stream`` serving path) pays;
 chaining measures what the chip actually sustains. The dispatch-included
 sequential rate is printed to stderr for reference.
 
-Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}.
+Also measures the steady-state TRAIN step at the same COCO config (batch 2,
+bf16, 832x1344 — the reference's 180k-iter recipe workload,
+examples/train_common.py:61-62 in the reference) and reports it in the same
+JSON line under "train" (step ms, images/sec, MFU vs the 197 TF bf16 v5e
+peak), so the driver's BENCH_r*.json regression-gates training too.
+
+Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline",
+"train": {...}}.
 """
 
 import json
@@ -23,6 +30,8 @@ import time
 import numpy as np
 
 BASELINE_HZ = 3.24
+PEAK_FLOPS = 197e12  # TPU v5e public bf16 peak
+TRAIN_BATCH = 2
 
 
 def main():
@@ -95,9 +104,53 @@ def main():
                 "value": round(hz, 3),
                 "unit": "images/sec",
                 "vs_baseline": round(hz / BASELINE_HZ, 2),
+                "train": bench_train(cfg, params, h, w),
             }
         )
     )
+
+
+def bench_train(cfg, params, h, w):
+    """Steady-state train step at the COCO config: ms/step, images/sec,
+    and MFU from XLA cost analysis against the v5e bf16 peak."""
+    import jax
+
+    from mask_rcnn_tpu.data.synthetic import make_synthetic_train_batch
+    from mask_rcnn_tpu.engine import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from mask_rcnn_tpu.utils.profiling import time_train_steps_chained
+
+    n = TRAIN_BATCH
+    rng = np.random.RandomState(0)
+    batch = {
+        k: jax.device_put(v)
+        for k, v in make_synthetic_train_batch(n, h, w, rng).items()
+    }
+    optimizer, _ = make_optimizer(params, 0.02, 1000)
+    state = jax.device_put(create_train_state(params, optimizer))
+    key = jax.device_put(jax.random.PRNGKey(0))
+
+    step_fn = make_train_step(cfg, optimizer)
+    try:
+        ca = jax.jit(step_fn).lower(state, batch, key).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", float("nan")))
+    except Exception:
+        flops = float("nan")
+    ms = time_train_steps_chained(step_fn, state, batch, key, reps=10, iters=3)
+    mfu = flops / (ms / 1e3) / PEAK_FLOPS if np.isfinite(flops) else None
+    return {
+        "step_ms": round(ms, 2),
+        "images_per_sec": round(n / (ms / 1e3), 2),
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "batch": n,
+        "dtype": cfg.compute_dtype,
+        "image_hw": [h, w],
+    }
 
 
 if __name__ == "__main__":

@@ -12,25 +12,13 @@ sys.path.insert(0, osp.join(osp.dirname(__file__), "../.."))
 import train_common  # noqa: E402
 
 
-class ConcatDataset:
-    def __init__(self, *datasets):
-        self.datasets = datasets
-
-    def __len__(self):
-        return sum(len(d) for d in self.datasets)
-
-    def __getitem__(self, i):
-        for d in self.datasets:
-            if i < len(d):
-                return d[i]
-            i -= len(d)
-        raise IndexError
-
-
 def main():
     import os
 
-    from mask_rcnn_tpu.data import COCOInstanceSegmentationDataset
+    from mask_rcnn_tpu.data import (
+        COCOInstanceSegmentationDataset,
+        ConcatDataset,
+    )
 
     args = train_common.parse_args(
         dataset_defaults=dict(max_epoch=(180e3 * 8) / 118287)

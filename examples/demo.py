@@ -38,7 +38,19 @@ def build_model_from_log_dir(log_dir: str):
         # `model: resnet101` must pick the matching depth or the snapshot
         # import rejects the tree.
         if "model" in params_yaml:
-            mc["n_layers"] = 101 if "101" in str(params_yaml["model"]) else 50
+            # exact match, mirroring the reference's
+            # int(model.lstrip('resnet')) contract — substring sniffing
+            # would silently map an unsupported depth (e.g. resnet152)
+            # onto 50/101 and the later snapshot-import failure would
+            # point at the wrong cause.
+            depths = {"resnet50": 50, "resnet101": 101}
+            name = str(params_yaml["model"])
+            if name not in depths:
+                raise ValueError(
+                    f"unsupported model {name!r} in params.yaml; expected "
+                    f"one of {sorted(depths)}"
+                )
+            mc["n_layers"] = depths[name]
         if params_yaml.get("class_names"):
             mc["n_fg_class"] = len(params_yaml["class_names"])
         for key in ("min_size", "max_size", "anchor_scales", "roi_size",

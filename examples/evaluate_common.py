@@ -50,6 +50,10 @@ def evaluate(test_data, class_names, dataset_kind, indices_vis=None,
         model.config = dataclasses.replace(
             model.config, nms_topk_per_class=0, compute_dtype="float32"
         )
+        # bucket padding is the one documented deliberate decode deviation
+        # (mean-level padding is only float-tolerance-equal to tight
+        # padding, docs/parity.md) — strict mode removes it too.
+        model.pad_to_bucket = False
 
     if indices_vis:
         indices_vis = [i for i in indices_vis if i < len(test_data)]

@@ -27,31 +27,13 @@ PEAK_FLOPS = 197e12
 
 
 def timed_scan_steps(step, state, batch, key, reps=12, iters=3):
-    """Steady-state seconds per train step: ``reps`` real consecutive steps
-    (state carried, key folded) inside one jit — dispatch-free, like
-    utils.profiling.time_fn_chained for stateless graphs."""
-    import jax
+    """Steady-state seconds per train step (see
+    utils.profiling.time_train_steps_chained)."""
+    from mask_rcnn_tpu.utils.profiling import time_train_steps_chained
 
-    @jax.jit
-    def run(state, key):
-        def body(carry, _):
-            s, k = carry
-            k = jax.random.fold_in(k, 1)
-            s, metrics = step(s, batch, k)
-            return (s, k), metrics["loss"]
-
-        (_, _), losses = jax.lax.scan(
-            body, (state, key), None, length=reps
-        )
-        return losses[-1]
-
-    out = run(state, key)
-    float(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run(state, key)
-    float(out)
-    return (time.perf_counter() - t0) / iters / reps
+    return time_train_steps_chained(
+        step, state, batch, key, reps=reps, iters=iters
+    ) / 1e3
 
 
 def graph_flops(lowered_compiled):
@@ -65,30 +47,9 @@ def graph_flops(lowered_compiled):
 
 
 def make_batch(n, h, w, rng):
-    from mask_rcnn_tpu.data.loader import pack_mask_bits
+    from mask_rcnn_tpu.data.synthetic import make_synthetic_train_batch
 
-    g = 8
-    images = (rng.randn(n, h, w, 3) * 60).astype(np.float32)
-    bbox = np.zeros((n, g, 4), np.float32)
-    label = np.zeros((n, g), np.int32)
-    valid = np.ones((n, g), bool)
-    mask = np.zeros((n, g, h, w), np.uint8)
-    for i in range(n):
-        for k in range(g):
-            y1 = rng.randint(0, h - 200)
-            x1 = rng.randint(0, w - 200)
-            y2, x2 = y1 + rng.randint(60, 200), x1 + rng.randint(60, 200)
-            bbox[i, k] = (y1, x1, y2, x2)
-            label[i, k] = rng.randint(0, 80)
-            mask[i, k, y1:y2, x1:x2] = 1
-    return {
-        "image": images,
-        "bbox": bbox,
-        "label": label,
-        "bbox_valid": valid,
-        "mask": pack_mask_bits(mask),
-        "scale": np.full((n,), 1.25, np.float32),
-    }
+    return make_synthetic_train_batch(n, h, w, rng)
 
 
 def main():

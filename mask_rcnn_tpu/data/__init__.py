@@ -1,4 +1,5 @@
 from mask_rcnn_tpu.data.coco import COCOInstanceSegmentationDataset  # noqa: F401
+from mask_rcnn_tpu.data.concat import ConcatDataset  # noqa: F401
 from mask_rcnn_tpu.data.loader import TrainLoader, pad_batch  # noqa: F401
 from mask_rcnn_tpu.data.transforms import MaskRCNNTransform  # noqa: F401
 from mask_rcnn_tpu.data.voc import (  # noqa: F401

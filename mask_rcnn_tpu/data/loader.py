@@ -154,11 +154,36 @@ class TrainLoader:
         self.aspect_flags = None
         sizes = getattr(dataset, "image_sizes", None)
         if callable(sizes):
-            sizes = sizes()
+            try:
+                sizes = sizes()
+            except AttributeError:
+                # composite datasets (ConcatDataset) raise when a child
+                # lacks the metadata — same as not exposing it at all
+                sizes = None
         if sizes is not None and len(sizes) == len(dataset):
             self.aspect_flags = np.asarray(
                 [s[1] >= s[0] for s in sizes], bool
             )  # True = landscape
+        elif min_size != max_size and len(dataset) > 1:
+            # A non-square resize target means image orientation decides the
+            # padded bucket; without grouping every mixed batch pads to the
+            # square worst case (and multi-host force_shape degrades to
+            # (long, long)). Warn loudly rather than silently burn ~45%.
+            import warnings
+
+            reason = (
+                "returned a list whose length does not match the dataset"
+                if sizes is not None
+                else "is not exposed"
+            )
+            warnings.warn(
+                f"TrainLoader: aspect-ratio grouping disabled — "
+                f"{type(dataset).__name__}.image_sizes {reason}. Mixed-"
+                f"orientation batches pad to the square worst case "
+                f"({round_up(max_size, 64)}, {round_up(max_size, 64)}); "
+                f"expose image_sizes() -> [(H, W), ...] to fix.",
+                stacklevel=2,
+            )
 
     def epoch_indices(self, epoch: int) -> np.ndarray:
         """This host's index sequence for ``epoch``; batch ``b`` is the

@@ -180,3 +180,34 @@ def make_synthetic_coco_root(
         with open(osp.join(ann_dir, f"instances_{split}.json"), "w") as f:
             json.dump(payload, f)
     return dst
+
+
+def make_synthetic_train_batch(n, h, w, rng, max_boxes=8, n_fg_class=80):
+    """In-memory padded train batch at (n, h, w): random images, ``max_boxes``
+    axis-aligned gt rectangles per image with matching bit-packed masks.
+    Shared by the benchmark/MFU tooling — shapes match TrainLoader.pad_batch
+    output exactly, so the timed step compiles the production graph."""
+    from mask_rcnn_tpu.data.loader import pack_mask_bits
+
+    g = max_boxes
+    images = (rng.randn(n, h, w, 3) * 60).astype(np.float32)
+    bbox = np.zeros((n, g, 4), np.float32)
+    label = np.zeros((n, g), np.int32)
+    valid = np.ones((n, g), bool)
+    mask = np.zeros((n, g, h, w), np.uint8)
+    for i in range(n):
+        for k in range(g):
+            y1 = rng.randint(0, h - 200)
+            x1 = rng.randint(0, w - 200)
+            y2, x2 = y1 + rng.randint(60, 200), x1 + rng.randint(60, 200)
+            bbox[i, k] = (y1, x1, y2, x2)
+            label[i, k] = rng.randint(0, n_fg_class)
+            mask[i, k, y1:y2, x1:x2] = 1
+    return {
+        "image": images,
+        "bbox": bbox,
+        "label": label,
+        "bbox_valid": valid,
+        "mask": pack_mask_bits(mask),
+        "scale": np.full((n,), 1.25, np.float32),
+    }

@@ -322,9 +322,17 @@ class InstanceSegmentationEvaluator:
         payload = np.frombuffer(
             pickle.dumps((n_added, ev.get_state())), np.uint8
         )
+        # int32 lengths: jax's default x64-disabled config silently
+        # downcasts int64 operands, so make the 2 GiB-per-shard bound
+        # explicit instead of letting a giant payload wrap and corrupt
+        # the slicing below.
+        assert len(payload) < 2**31, (
+            f"pooled eval shard state is {len(payload)} bytes; the "
+            "allgather length protocol caps shards at 2 GiB"
+        )
         lengths = np.asarray(
             multihost_utils.process_allgather(
-                np.asarray([len(payload)], np.int64)
+                np.asarray([len(payload)], np.int32)
             )
         ).reshape(-1)
         padded = np.zeros(int(lengths.max()), np.uint8)

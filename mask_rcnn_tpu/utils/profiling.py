@@ -85,6 +85,34 @@ def time_fn_chained(build: Callable, feed, reps: int = 50,
     return (time.perf_counter() - t0) / iters / reps * 1000.0
 
 
+def time_train_steps_chained(step, state, batch, key, reps: int = 12,
+                             iters: int = 3) -> float:
+    """Steady-state milliseconds per train step: ``reps`` REAL consecutive
+    steps (state carried, rng key folded per step) inside one
+    ``lax.scan`` under jit — dispatch-free, the stateful analog of
+    ``time_fn_chained``. The returned last-step loss fetch is the only
+    host sync per timed iteration."""
+
+    @jax.jit
+    def run(state, key):
+        def body(carry, _):
+            s, k = carry
+            k = jax.random.fold_in(k, 1)
+            s, metrics = step(s, batch, k)
+            return (s, k), metrics["loss"]
+
+        (_, _), losses = jax.lax.scan(body, (state, key), None, length=reps)
+        return losses[-1]
+
+    out = run(state, key)
+    float(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run(state, key)
+    float(out)
+    return (time.perf_counter() - t0) / iters / reps * 1000.0
+
+
 def profile_stages(stages: List[Tuple[str, Callable, tuple]],
                    iters: int = 10) -> Dict[str, float]:
     """Time named (fn, args) stages; returns {name: ms}."""

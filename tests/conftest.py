@@ -23,9 +23,9 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 # +prefer-no-scatter) that fail the load-time check on this host ("could
 # lead to execution errors such as SIGILL"), and a run with the cache
 # enabled produced exactly one hard worker abort under pytest-xdist. The
-# package itself also ignores the var when JAX_PLATFORMS forces cpu
-# (mask_rcnn_tpu/__init__.py); popping it here covers tools that import
-# jax before mask_rcnn_tpu.
+# package itself also refuses the cache when the RESOLVED backend is cpu
+# (mask_rcnn_tpu/__init__.py); popping it here additionally avoids the
+# import-time backend initialization that gate performs.
 os.environ.pop("MASK_RCNN_TPU_COMPILE_CACHE", None)
 
 import jax  # noqa: E402

@@ -61,6 +61,20 @@ def test_reference_flat_params_yaml_resnet101(monkeypatch, tmp_path):
     )
 
 
+def test_reference_flat_params_unknown_model_rejected(monkeypatch, tmp_path):
+    # substring sniffing would silently map resnet152 onto 50/101; the
+    # rebuild must fail loudly instead, mirroring the reference's
+    # int(model.lstrip('resnet')) contract
+    import pytest
+
+    with pytest.raises(ValueError, match="resnet152"):
+        _capture_build(
+            monkeypatch, tmp_path,
+            {"model": "resnet152", "dataset": "voc",
+             "class_names": [f"c{i}" for i in range(20)]},
+        )
+
+
 def test_native_model_config_mean_restored(monkeypatch, tmp_path):
     # the converter's log dir stores the Detectron pixel mean; the rebuild
     # must restore it (examples/coco/convert_caffe2.py writes model_config)
