@@ -11,9 +11,14 @@ import evaluate_common  # noqa: E402
 
 
 def main():
+    import os
+
     from mask_rcnn_tpu.data import SBDInstanceSegmentationDataset
 
-    test_data = SBDInstanceSegmentationDataset("val")
+    root = os.environ.get(
+        "SBD_ROOT", "~/data/datasets/VOC/benchmark_RELEASE/dataset"
+    )
+    test_data = SBDInstanceSegmentationDataset("val", root=root)
     evaluate_common.evaluate(
         test_data,
         class_names=test_data.class_names,

@@ -211,3 +211,95 @@ def make_synthetic_train_batch(n, h, w, rng, max_boxes=8, n_fg_class=80):
         "mask": pack_mask_bits(mask),
         "scale": np.full((n,), 1.25, np.float32),
     }
+
+
+# ---------------------------------------------------------------------------
+# Synthetic SBD root (benchmark_RELEASE/dataset layout)
+# ---------------------------------------------------------------------------
+
+# Three of the 20 VOC classes, color-coded so a from-scratch model can
+# overfit quickly (same idea as the COCO generator above).
+SBD_CLASS_IDS = (1, 8, 15)  # aeroplane, cat, person
+_SBD_COLORS = {1: (230, 60, 50), 8: (60, 220, 70), 15: (70, 90, 235)}
+
+
+def _sbd_image(rng, height, width):
+    """One synthetic SBD example: RGB image + class/instance label images
+    (uint8, 0 = background, 255 = void), 2-3 shapes of the color-coded
+    classes plus a void border strip to exercise 255 -> -1 handling
+    (reference datasets/voc/sbd.py:47-53)."""
+    img = rng.randint(0, 60, (height, width, 3)).astype(np.uint8)
+    cls = np.zeros((height, width), np.uint8)
+    ins = np.zeros((height, width), np.uint8)
+    occupied = np.zeros((height, width), bool)
+    inst_id = 1
+    for _ in range(rng.randint(2, 4)):
+        cid = SBD_CLASS_IDS[rng.randint(len(SBD_CLASS_IDS))]
+        for _attempt in range(20):
+            bh = rng.randint(height // 5, height // 2)
+            bw = rng.randint(width // 5, width // 2)
+            y1 = rng.randint(1, height - bh - 1)
+            x1 = rng.randint(1, width - bw - 1)
+            if occupied[y1:y1 + bh, x1:x1 + bw].any():
+                continue
+            if cid == 8:  # disk
+                yy, xx = np.mgrid[:height, :width]
+                r = min(bh, bw) // 2
+                m = (yy - (y1 + r)) ** 2 + (xx - (x1 + r)) ** 2 <= r * r
+            else:  # rectangle
+                m = np.zeros((height, width), bool)
+                m[y1:y1 + bh, x1:x1 + bw] = True
+            img[m] = _SBD_COLORS[cid]
+            cls[m] = cid
+            ins[m] = inst_id
+            occupied[max(y1 - 2, 0):y1 + bh + 2,
+                     max(x1 - 2, 0):x1 + bw + 2] = True
+            inst_id += 1
+            break
+    # void strip on the top border (both label images), like real SBD edges
+    cls[0, :] = 255
+    ins[0, :] = 255
+    return img, cls, ins
+
+
+def make_synthetic_sbd_root(
+    dst: str,
+    n_train: int = 8,
+    n_val: int = 4,
+    height: int = 96,
+    width: int = 128,
+    seed: int = 0,
+) -> str:
+    """Write a complete synthetic SBD root (benchmark_RELEASE/dataset
+    layout: img/*.jpg + cls/inst GTcls/GTinst .mat structs + SDS-layout
+    ImageSets/Main/{train,val}.txt split lists) under ``dst`` and return
+    it. Drives the unmodified VOC/SBD example drivers end-to-end without
+    network egress — the VOC analog of make_synthetic_coco_root."""
+    import cv2
+    import scipy.io
+
+    if min(height, width) < 16:
+        raise ValueError(f"canvas {height}x{width} too small (min dim 16)")
+    rng = np.random.RandomState(seed)
+    for d in ("img", "cls", "inst", "ImageSets/Main"):
+        os.makedirs(osp.join(dst, d), exist_ok=True)
+
+    counter = 1
+    for split, n in (("train", n_train), ("val", n_val)):
+        ids = []
+        for _ in range(n):
+            did = f"2008_{counter:06d}"
+            counter += 1
+            ids.append(did)
+            img, cls, ins = _sbd_image(rng, height, width)
+            # JPEG is lossy; the color-coded classes stay separable
+            cv2.imwrite(osp.join(dst, "img", did + ".jpg"),
+                        img[:, :, ::-1])
+            scipy.io.savemat(osp.join(dst, "cls", did + ".mat"),
+                             {"GTcls": {"Segmentation": cls}})
+            scipy.io.savemat(osp.join(dst, "inst", did + ".mat"),
+                             {"GTinst": {"Segmentation": ins}})
+        with open(osp.join(dst, "ImageSets/Main", split + ".txt"),
+                  "w") as f:
+            f.write("".join(i + "\n" for i in ids))
+    return dst

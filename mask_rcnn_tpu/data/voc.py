@@ -46,6 +46,20 @@ def _read_label_png(path: str) -> np.ndarray:
     return lbl
 
 
+def _image_sizes_from_headers(paths):
+    """(H, W) per image from the JPEG/PNG headers — PIL reads size lazily
+    without decoding pixels, so this is cheap enough for the train loader's
+    one-time aspect-grouping probe even on the 5.6k-image SBD split."""
+    from PIL import Image
+
+    sizes = []
+    for p in paths:
+        with Image.open(p) as im:
+            w, h = im.size
+        sizes.append((h, w))
+    return sizes
+
+
 def _example_from_labels(img, lbl_cls, lbl_ins):
     labels, bboxes, masks = label2instance_boxes(lbl_ins, lbl_cls)
     return (
@@ -101,6 +115,14 @@ class VOC2012InstanceSegmentationDataset:
 
     __getitem__ = get_example
 
+    def image_sizes(self):
+        """(H, W) per example from image headers (no pixel decode) —
+        enables aspect-ratio grouping in the train loader."""
+        return _image_sizes_from_headers(
+            osp.join(self.root, "JPEGImages", did + ".jpg")
+            for did in self.ids
+        )
+
 
 class SBDInstanceSegmentationDataset:
     """SBD (benchmark_RELEASE) .mat GTcls/GTinst loader
@@ -134,9 +156,20 @@ class SBDInstanceSegmentationDataset:
         if split not in ("train", "val") and split_file is None:
             raise ValueError(split)
         self.root = osp.expanduser(root)
-        split_file = split_file or osp.join(
-            osp.dirname(__file__), "sbd_splits", f"{split}.txt"
-        )
+        if split_file is None:
+            # A root carrying its own SDS-layout split lists (the layout
+            # the reference vendors its FCIS lists in,
+            # VOCdevkit/VOCSDS/ImageSets/Main/*.txt) wins — this is how a
+            # synthetic rehearsal root or a custom re-split drives the
+            # unmodified drivers. The stock benchmark_RELEASE download has
+            # no ImageSets/ directory, so real SBD roots still get the
+            # vendored FCIS 5623/5732 lists the published numbers use.
+            root_local = osp.join(
+                self.root, "ImageSets", "Main", f"{split}.txt"
+            )
+            split_file = root_local if osp.exists(root_local) else osp.join(
+                osp.dirname(__file__), "sbd_splits", f"{split}.txt"
+            )
         with open(split_file) as f:
             self.ids = [line.strip() for line in f if line.strip()]
 
@@ -167,6 +200,12 @@ class SBDInstanceSegmentationDataset:
 
     __getitem__ = get_example
 
+    def image_sizes(self):
+        """(H, W) per example from JPEG headers (no pixel decode)."""
+        return _image_sizes_from_headers(
+            osp.join(self.root, "img", did + ".jpg") for did in self.ids
+        )
+
 
 class VOCLikeDataset:
     """Bring-your-own-dataset contract (reference
@@ -188,6 +227,10 @@ class VOCLikeDataset:
         lbl_cls = np.load(self.cls_paths[i]).astype(np.int32)
         lbl_ins = np.load(self.ins_paths[i]).astype(np.int32)
         return _example_from_labels(img, lbl_cls, lbl_ins)
+
+    def image_sizes(self):
+        """(H, W) per example from image headers (no pixel decode)."""
+        return _image_sizes_from_headers(self.img_paths)
 
     __getitem__ = get_example
 
