@@ -78,6 +78,11 @@ def main():
                         "evaluate step (-1 disables the bar for smoke "
                         "runs)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--n-train", type=int, default=8,
+                        help="synthetic train2014 size")
+    parser.add_argument("--n-val", type=int, default=4,
+                        help="synthetic minival size (>=64 for the "
+                        "statistically meaningful bf16-vs-f32 comparison)")
     args = parser.parse_args()
 
     from mask_rcnn_tpu.data.synthetic import make_synthetic_coco_root
@@ -87,6 +92,7 @@ def main():
     hw = args.image_hw or ((96, 128) if args.min_size else (480, 640))
     coco_root = make_synthetic_coco_root(
         osp.join(workdir, "COCO"), height=hw[0], width=hw[1],
+        n_train=args.n_train, n_minival=args.n_val,
         seed=args.seed,
     )
     logs_dir = osp.join(workdir, "logs")

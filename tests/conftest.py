@@ -31,3 +31,15 @@ os.environ.pop("MASK_RCNN_TPU_COMPILE_CACHE", None)
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    # `medium` implies `slow`: the fast tier (-m "not slow") skips both,
+    # `-m medium` runs exactly the medium tier, `-m "slow and not medium"`
+    # the heavy tier. Full coverage = all three; only the default
+    # invocation's wall-clock changes.
+    for item in items:
+        if "medium" in item.keywords:
+            item.add_marker(pytest.mark.slow)

@@ -36,7 +36,13 @@ def _rand_batches(seed, n_batches, batch_size):
     ]
 
 
-@pytest.mark.parametrize("depth", [1, 2, 3, 8])
+@pytest.mark.parametrize(
+    "depth",
+    [1,
+     pytest.param(2, marks=pytest.mark.medium),
+     pytest.param(3, marks=pytest.mark.medium),
+     8],
+)
 def test_predict_stream_matches_predict(tiny_api_model, depth):
     model = tiny_api_model
     batches = _rand_batches(0, n_batches=4, batch_size=2)

@@ -21,6 +21,7 @@ import pytest
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 
 
+@pytest.mark.medium
 def test_synthetic_root_feeds_real_train_step(tmp_path):
     """COCO_ROOT on disk -> COCOInstanceSegmentationDataset -> TrainLoader
     -> one jitted train step with finite losses: the json decode output

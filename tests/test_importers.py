@@ -332,6 +332,7 @@ def test_chainer_depth_mismatch_raises(tmp_path):
         import_chainer_npz(path50, n_layers=101)
 
 
+@pytest.mark.medium
 def test_chainer_snapshot_through_pretrained_model(tmp_path):
     """A reference-layout snapshot loads through the user surface
     (``pretrained_model=<path>``, layout-sniffed, and ``chainer:<path>``)

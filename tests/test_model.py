@@ -168,6 +168,7 @@ def test_api_predict_contract():
             assert labels[i].max() < 3
 
 
+@pytest.mark.medium
 def test_default_predict_compile_bound():
     """The default API (pad_to_bucket=True since r4, VERDICT r3 directive
     5) pads to the loader's static orientation buckets, so a mixed-size
@@ -240,6 +241,7 @@ def test_conv2d_matches_torch():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.medium
 def test_resnet101_params_and_train_grads():
     """R-101-C4: 23 res4 blocks (RESNET_N_BLOCKS, reference
     resnet_extractor.py ResNet101Layers), shared head/RPN. One

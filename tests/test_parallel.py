@@ -1,5 +1,6 @@
 import jax
 import numpy as np
+import pytest
 
 from mask_rcnn_tpu.engine import (
     create_train_state,
@@ -60,6 +61,7 @@ def test_trainable_mask_rules():
     assert mask["rpn"]["conv1"]["b"] is True
 
 
+@pytest.mark.medium
 def test_parallel_train_step_8_devices():
     assert len(jax.devices()) >= 8, "conftest should provide 8 cpu devices"
     mesh = make_mesh(jax.devices()[:8])
@@ -96,6 +98,7 @@ def test_parallel_train_step_8_devices():
     assert len(new_state.params["rpn"]["conv1"]["W"].devices()) == 8
 
 
+@pytest.mark.medium
 def test_one_device_vs_eight_device_equality():
     """The same global batch on a 1-device and an 8-device mesh must produce
     the same loss/metrics and the same parameter update (reference DP
@@ -158,6 +161,7 @@ def test_lr_schedule_steps():
     np.testing.assert_allclose(float(sched(161)), 0.0002, rtol=1e-6)
 
 
+@pytest.mark.medium
 def test_parallel_predict_matches_single_device():
     """8-way sharded inference must equal the single-device graph on the
     same batch (no cross-shard dependence by construction)."""

@@ -21,6 +21,7 @@ import pytest
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 
 
+@pytest.mark.medium
 def test_synthetic_sbd_feeds_real_train_step(tmp_path):
     """SBD root on disk -> SBDInstanceSegmentationDataset -> TrainLoader
     -> one jitted train step with finite losses: the GTcls/GTinst .mat
