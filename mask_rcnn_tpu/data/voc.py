@@ -258,3 +258,14 @@ class IndexingDataset:
     @property
     def return_area(self):
         return getattr(self.dataset, "return_area", None)
+
+    def image_sizes(self):
+        """Subset view of the wrapped dataset's size metadata (keeps
+        aspect-ratio grouping working through the subset)."""
+        fn = getattr(self.dataset, "image_sizes", None)
+        if fn is None:
+            raise AttributeError(
+                f"{type(self.dataset).__name__} does not expose image_sizes"
+            )
+        sizes = fn() if callable(fn) else fn
+        return [sizes[i] for i in self.indices]

@@ -130,3 +130,23 @@ def test_no_metadata_dataset_warns_once():
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         TrainLoader(Plain(), None, batch_size=2, min_size=64, max_size=64)
+
+
+def test_indexing_dataset_forwards_image_sizes(coco_pair):
+    from mask_rcnn_tpu.data import IndexingDataset
+
+    ds_l, _ = coco_pair
+    sub = IndexingDataset(ds_l, [2, 0])
+    sizes = sub.image_sizes()
+    all_sizes = ds_l.image_sizes()
+    assert sizes == [all_sizes[2], all_sizes[0]]
+
+    class Bare:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            raise AssertionError("not needed")
+
+    with pytest.raises(AttributeError):
+        IndexingDataset(Bare(), [0]).image_sizes()
