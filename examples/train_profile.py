@@ -29,16 +29,21 @@ import numpy as np
 sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
 
 PEAK_FLOPS = 197e12  # TPU v5e bf16 peak
+HBM_BW = 819e9  # TPU v5e HBM bandwidth, bytes/s
 
 
-def flops_of(jitted, *args):
+def cost_of(jitted, *args):
+    """(flops, bytes accessed) from XLA cost analysis."""
     try:
         ca = jitted.lower(*args).compile().cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
-        return float(ca.get("flops", float("nan")))
+        return (
+            float(ca.get("flops", float("nan"))),
+            float(ca.get("bytes accessed", float("nan"))),
+        )
     except Exception:
-        return float("nan")
+        return float("nan"), float("nan")
 
 
 def main():
@@ -220,16 +225,24 @@ def main():
 
     def stage(name, build, feed, jitted_for_flops, *flop_args):
         ms = time_fn_chained(build, feed, reps=args.reps, iters=args.iters)
-        fl = flops_of(jitted_for_flops, *flop_args) if jitted_for_flops else float("nan")
+        fl, by = (cost_of(jitted_for_flops, *flop_args)
+                  if jitted_for_flops else (float("nan"), float("nan")))
         rows.append((name, ms, fl))
         tf = fl / (ms / 1e3) / 1e12 if np.isfinite(fl) else float("nan")
+        # roofline floor: max(compute-bound, HBM-bound) time. "bytes
+        # accessed" counts every HLO operand/result, so fusion makes the
+        # true traffic lower — the floor is conservative (high); achieved%
+        # of it can exceed 100 only through cache reuse, never the reverse.
+        floor = max(fl / PEAK_FLOPS, by / HBM_BW) * 1e3
+        bound = "mem" if by / HBM_BW > fl / PEAK_FLOPS else "flop"
         print(f"{name:34s} {ms:8.2f} ms {fl/1e9:9.1f} GF {tf:7.1f} TF/s "
-              f"{tf*1e12/PEAK_FLOPS:6.1%}", flush=True)
+              f"{tf*1e12/PEAK_FLOPS:6.1%}  {by/1e9:7.2f} GB "
+              f"floor={floor:6.2f}ms[{bound}] {floor/ms:6.1%}", flush=True)
 
     print(f"R-{args.layers}-C4 train profile @ {h}x{w} b{n} {args.dtype} "
-          f"(v5e peak {PEAK_FLOPS/1e12:.0f} TF bf16)")
+          f"(v5e peak {PEAK_FLOPS/1e12:.0f} TF bf16, {HBM_BW/1e9:.0f} GB/s)")
     print(f"{'stage':34s} {'ms':>11s} {'GFLOP':>12s} {'TFLOP/s':>10s} "
-          f"{'MFU':>6s}")
+          f"{'MFU':>6s} {'bytes':>10s} {'roofline floor':>20s} {'ach.':>6s}")
     stage("backbone+rpn fwd", lambda i: fwd_bb(i), batch["image"],
           fwd_bb, batch["image"])
     stage("propose: NMS 12000->2000 x2", do_propose, rpn_locs,
@@ -252,10 +265,12 @@ def main():
     full_ms = time_train_steps_chained(
         step_fn, state, batch, key, reps=args.reps, iters=args.iters
     )
-    fl = flops_of(jax.jit(step_fn), state, batch, key)
+    fl, by = cost_of(jax.jit(step_fn), state, batch, key)
     tf = fl / (full_ms / 1e3) / 1e12
+    floor = max(fl / PEAK_FLOPS, by / HBM_BW) * 1e3
     print(f"{'full step (scan, fused)':34s} {full_ms:8.2f} ms "
-          f"{fl/1e9:9.1f} GF {tf:7.1f} TF/s {tf*1e12/PEAK_FLOPS:6.1%}")
+          f"{fl/1e9:9.1f} GF {tf:7.1f} TF/s {tf*1e12/PEAK_FLOPS:6.1%}  "
+          f"{by/1e9:7.2f} GB floor={floor:6.2f}ms {floor/full_ms:6.1%}")
     by = {name: ms for name, ms, _ in rows}
     print(f"\nderived: bwd-only ~= "
           f"{by['fwd+bwd (value_and_grad)'] - by['fwd loss (fused total)']:.2f} ms, "
