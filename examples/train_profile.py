@@ -149,16 +149,15 @@ def main():
 
     s = p_cfg.n_sample
     q = min(int(round(s * p_cfg.pos_ratio)), s)
-    flat_rois = sample_rois.reshape(n * s, 4)
-    flat_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), s)
     mask_subset = (
         jnp.arange(n, dtype=jnp.int32)[:, None] * s
         + jnp.arange(q, dtype=jnp.int32)[None, :]
     ).reshape(-1)
 
     def do_head(f):
+        # grouped (N, S, 4) rois: the production per-image batched align.
         return heads.head_forward(
-            cparams["head"], f, flat_rois, flat_idx,
+            cparams["head"], f, sample_rois, None,
             roi_size=cfg.roi_size, spatial_scale=1.0 / cfg.feat_stride,
             pred_bbox=True, pred_mask=True,
             pooling_func=pooling_func(cfg),
@@ -206,7 +205,7 @@ def main():
         def g(hp, ff):
             chp = cast_params(hp, cfg.compute_dtype)
             out = heads.head_forward(
-                chp, ff, flat_rois, flat_idx,
+                chp, ff, sample_rois, None,
                 roi_size=cfg.roi_size, spatial_scale=1.0 / cfg.feat_stride,
                 pred_bbox=True, pred_mask=True,
                 pooling_func=pooling_func(cfg),

@@ -20,7 +20,7 @@ from mask_rcnn_tpu.models.resnet import (
     init_res5,
     res5_forward,
 )
-from mask_rcnn_tpu.ops.roi_align import roi_align
+from mask_rcnn_tpu.ops.roi_align import roi_align, roi_align_grouped
 
 
 def deconv2x2_s2(x, w, b):
@@ -46,10 +46,17 @@ def head_forward(
 ):
     """Run the RoI head.
 
-    ``mask_subset``: optional (M,) row indices of ``rois`` to run the mask
-    branch on (training: only positive samples carry mask targets, so the
-    deconv/mask convs run on pos_ratio of the rois — the box/class branches
-    still see every roi).
+    ``rois`` may be flat (R, 4) with per-roi batch indices in
+    ``roi_indices``, or grouped per image as (N, R_i, 4) — the grouped form
+    routes RoIAlign through the per-image batched einsums
+    (``roi_align_grouped``: 1/N the contraction FLOPs, shorter-axis
+    intermediate) and needs no ``roi_indices`` (pass None). All outputs are
+    flat over rois in roi-major order either way.
+
+    ``mask_subset``: optional (M,) flat row indices of ``rois`` to run the
+    mask branch on (training: only positive samples carry mask targets, so
+    the deconv/mask convs run on pos_ratio of the rois — the box/class
+    branches still see every roi).
 
     Returns dict with any of:
         cls_locs: (R, n_class*4)
@@ -57,6 +64,7 @@ def head_forward(
         masks: (R or len(mask_subset), mask_size, mask_size, n_fg_class)
             logits, NHWC.
     """
+    grouped = rois.ndim == 3
     s5 = roi_size // 7
     if pooling_func is roi_align and s5 > 1:
         # The caffe-convention res5 puts its stride on 1x1 convs, which read
@@ -64,22 +72,45 @@ def head_forward(
         # 7x7 subgrid of the 14x14 pooling is ever used. Computing just
         # those bins (bin_stride) and running res5 at stride 1 is
         # bit-identical and does 1/s5^2 of the pooling work.
-        pool = roi_align(
-            features, rois, roi_indices, out_size=7,
-            spatial_scale=spatial_scale, sampling_ratio=sampling_ratio,
-            bin_stride=s5,
-        )
+        if grouped:
+            pool = roi_align_grouped(
+                features, rois, out_size=7, spatial_scale=spatial_scale,
+                sampling_ratio=sampling_ratio, bin_stride=s5,
+            ).reshape(-1, 7, 7, features.shape[-1])
+        else:
+            pool = roi_align(
+                features, rois, roi_indices, out_size=7,
+                spatial_scale=spatial_scale, sampling_ratio=sampling_ratio,
+                bin_stride=s5,
+            )
         h = res5_forward(params["res5"], pool, stride=1)
     else:
-        pool = pooling_func(
-            features,
-            rois,
-            roi_indices,
-            out_size=roi_size,
-            spatial_scale=spatial_scale,
-            **({"sampling_ratio": sampling_ratio}
-               if pooling_func is roi_align else {}),
-        )
+        if grouped:
+            n_img, r_img = rois.shape[:2]
+            if pooling_func is roi_align:
+                pool = roi_align_grouped(
+                    features, rois, out_size=roi_size,
+                    spatial_scale=spatial_scale,
+                    sampling_ratio=sampling_ratio,
+                ).reshape(-1, roi_size, roi_size, features.shape[-1])
+            else:
+                pool = pooling_func(
+                    features,
+                    rois.reshape(n_img * r_img, 4),
+                    jnp.repeat(jnp.arange(n_img, dtype=jnp.int32), r_img),
+                    out_size=roi_size,
+                    spatial_scale=spatial_scale,
+                )
+        else:
+            pool = pooling_func(
+                features,
+                rois,
+                roi_indices,
+                out_size=roi_size,
+                spatial_scale=spatial_scale,
+                **({"sampling_ratio": sampling_ratio}
+                   if pooling_func is roi_align else {}),
+            )
         h = res5_forward(params["res5"], pool, stride=s5)
 
     out = {}

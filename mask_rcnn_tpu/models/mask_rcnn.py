@@ -253,13 +253,11 @@ def predict_step(
     )  # (N, Rp, 4)
 
     rp = rois.shape[1]
-    flat_rois = rois.reshape(n * rp, 4)
-    flat_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), rp)
     head_out = heads.head_forward(
         params["head"],
         feats,
-        flat_rois,
-        flat_idx,
+        rois,
+        None,
         roi_size=cfg.roi_size,
         spatial_scale=1.0 / cfg.feat_stride,
         pred_bbox=True,
@@ -278,14 +276,12 @@ def predict_step(
 
     # Second head pass on detected boxes for masks (reference _to_roi_masks,
     # mask_rcnn.py:267-290).
-    mask_rois = boxes * scales[:, None, None]
-    flat_mrois = mask_rois.reshape(n * d, 4)
-    flat_midx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), d)
+    mask_rois = boxes * scales[:, None, None]  # (N, D, 4) grouped
     mask_out = heads.head_forward(
         params["head"],
         feats,
-        flat_mrois,
-        flat_midx,
+        mask_rois,
+        None,
         roi_size=cfg.roi_size,
         spatial_scale=1.0 / cfg.feat_stride,
         pred_bbox=False,

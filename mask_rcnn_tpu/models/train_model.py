@@ -105,8 +105,6 @@ def train_loss(
     )
 
     s = proposal_cfg.n_sample
-    flat_rois = sample_rois.reshape(n * s, 4)
-    flat_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), s)
     # Only positives carry mask targets, and proposal_targets compacts them
     # into the first pos_quota slots per image — run the deconv/mask branch
     # just on those rows (pos_ratio of the rois, exactly the slots whose
@@ -117,11 +115,13 @@ def train_loss(
         jnp.arange(n, dtype=jnp.int32)[:, None] * s
         + jnp.arange(q, dtype=jnp.int32)[None, :]
     ).reshape(-1)
+    # sample_rois stay grouped (N, S, 4): head_forward routes them through
+    # the per-image batched RoIAlign einsums (1/N the contraction FLOPs).
     head_out = heads.head_forward(
         params["head"],
         feats,
-        flat_rois,
-        flat_idx,
+        sample_rois,
+        None,
         roi_size=cfg.roi_size,
         spatial_scale=1.0 / cfg.feat_stride,
         pred_bbox=True,

@@ -232,6 +232,75 @@ def roi_align(
     return out[:r]
 
 
+def roi_align_grouped(
+    features: jnp.ndarray,
+    rois: jnp.ndarray,
+    out_size: int,
+    spatial_scale: float,
+    sampling_ratio: int = 0,
+    bin_stride: int = 1,
+) -> jnp.ndarray:
+    """``roi_align`` for rois grouped per image: rois (N, R, 4).
+
+    Every production caller (the train step's ProposalTargetCreator output
+    and both inference head passes) has a static, equal number of rois per
+    image, contiguous by image. Exploiting that grouping beats the flat
+    formulation twice over:
+
+      * the y-axis contraction runs over a single image's H rows instead of
+        the batch-embedded N*H rows (the flat path's ``offset`` trick), so
+        the first einsum does 1/N of the FLOPs at batch N;
+      * the first contraction is free to eliminate the *longer* spatial
+        axis per image, so the (R, P, axis, C) intermediate — the op's
+        dominant HBM traffic — keeps ``min(H, W)`` rows, where the flat
+        path is forced to ``min(N*H, W)``.
+
+    Measured at the train shape (b2, 52x84 feats, 512 rois/img, bf16):
+    5.48 ms fwd+bwd vs 8.58 ms flat (examples/bench_align_variants.py).
+    Values equal the flat path up to summation order (bf16 ~3e-2 on randn
+    features; exact per-sample arithmetic is identical).
+
+    Returns:
+        (N, R, P, P, C) pooled features, dtype of ``features``.
+    """
+    n, h, w, c = features.shape
+    r = rois.shape[1]
+    p = out_size
+
+    ay, ax = jax.vmap(
+        lambda rc: _roi_align_matrices(
+            rc, jnp.zeros(rc.shape[:1], jnp.int32), 1, h, w, p, p,
+            spatial_scale, sampling_ratio, bin_stride,
+        )
+    )(rois)  # ay: (N, R, P, H), ax: (N, R, P, W)
+    ay = ay.astype(features.dtype)
+    ax = ax.astype(features.dtype)
+
+    # Contract the longer spatial axis first so the big intermediate keeps
+    # the shorter one.
+    if w <= h:
+        t = jnp.einsum(
+            "nrph,nhwc->nrpwc", ay, features,
+            preferred_element_type=features.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jnp.einsum(
+            "nrqw,nrpwc->nrpqc", ax, t,
+            preferred_element_type=features.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    t = jnp.einsum(
+        "nrqw,nhwc->nrqhc", ax, features,
+        preferred_element_type=features.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.einsum(
+        "nrph,nrqhc->nrpqc", ay, t,
+        preferred_element_type=features.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def crop_and_resize(
     features: jnp.ndarray,
     rois: jnp.ndarray,

@@ -3,7 +3,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from mask_rcnn_tpu.ops import crop_and_resize, roi_align, roi_pool
+from mask_rcnn_tpu.ops import (
+    crop_and_resize,
+    roi_align,
+    roi_align_grouped,
+    roi_pool,
+)
 from tests.oracles import random_boxes, roi_align_np
 
 
@@ -175,3 +180,81 @@ def test_roi_align_bin_stride_matches_sliced_full_grid():
         )
         np.testing.assert_allclose(full[:, ::s, ::s], sub, rtol=1e-4,
                                    atol=1e-6)
+
+
+@pytest.mark.parametrize("sampling_ratio,bin_stride",
+                         [(0, 1), (0, 2), (2, 2)])
+def test_roi_align_grouped_matches_flat(sampling_ratio, bin_stride):
+    """The per-image batched formulation (production train/predict path)
+    equals the flat formulation up to f32 summation order."""
+    rng = np.random.RandomState(3)
+    n, h, w, c, r = 3, 10, 14, 6, 8
+    feats = rng.randn(n, h, w, c).astype(np.float32)
+    rois_g = np.stack(
+        [random_boxes(rng, r, h * 16, w * 16, min_size=4) for _ in range(n)]
+    )  # (n, r, 4)
+    idx = np.repeat(np.arange(n, dtype=np.int32), r)
+    flat = np.asarray(
+        roi_align(feats, rois_g.reshape(n * r, 4), idx, out_size=7,
+                  spatial_scale=1 / 16, sampling_ratio=sampling_ratio,
+                  bin_stride=bin_stride)
+    )
+    got = np.asarray(
+        roi_align_grouped(feats, rois_g, out_size=7, spatial_scale=1 / 16,
+                          sampling_ratio=sampling_ratio,
+                          bin_stride=bin_stride)
+    )
+    assert got.shape == (n, r, 7, 7, c)
+    np.testing.assert_allclose(
+        got.reshape(n * r, 7, 7, c), flat, rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("pool_fn", [roi_pool, crop_and_resize])
+def test_head_forward_grouped_alt_pooling_matches_flat(pool_fn):
+    """Grouped rois with the alternative pooling funcs (reference
+    --pooling-func pooling/resize) flatten internally and equal the flat
+    call."""
+    from mask_rcnn_tpu.models.heads import head_forward, init_head
+
+    rng = np.random.RandomState(5)
+    n, h, w, r = 2, 8, 11, 5
+    feats = rng.randn(n, h, w, 1024).astype(np.float32)
+    rois_g = np.stack(
+        [random_boxes(rng, r, h * 16, w * 16, min_size=8) for _ in range(n)]
+    )
+    idx = np.repeat(np.arange(n, dtype=np.int32), r)
+    params = init_head(jax.random.PRNGKey(1), n_class=3)
+    flat = head_forward(params, feats, rois_g.reshape(n * r, 4), idx,
+                        pooling_func=pool_fn)
+    grouped = head_forward(params, feats, jnp.asarray(rois_g), None,
+                           pooling_func=pool_fn)
+    for k in flat:
+        np.testing.assert_allclose(
+            np.asarray(grouped[k]), np.asarray(flat[k]),
+            rtol=1e-5, atol=1e-5, err_msg=k,
+        )
+
+
+def test_head_forward_grouped_matches_flat():
+    """head_forward with (N, R, 4) grouped rois equals the flat call."""
+    from mask_rcnn_tpu.models.heads import head_forward, init_head
+
+    rng = np.random.RandomState(4)
+    n, h, w, r = 2, 8, 11, 6
+    feats = rng.randn(n, h, w, 1024).astype(np.float32)
+    rois_g = np.stack(
+        [random_boxes(rng, r, h * 16, w * 16, min_size=8) for _ in range(n)]
+    )
+    idx = np.repeat(np.arange(n, dtype=np.int32), r)
+    params = init_head(jax.random.PRNGKey(0), n_class=4)
+    sub = jnp.asarray([0, 1, r, r + 1], jnp.int32)
+    flat = head_forward(params, feats, rois_g.reshape(n * r, 4), idx,
+                        mask_subset=sub)
+    grouped = head_forward(params, feats, jnp.asarray(rois_g), None,
+                           mask_subset=sub)
+    for k in flat:
+        np.testing.assert_allclose(
+            np.asarray(grouped[k]), np.asarray(flat[k]),
+            rtol=2e-4, atol=2e-4, err_msg=k,
+        )
